@@ -1,0 +1,37 @@
+"""Format dispatch for raw spans → output spans (pure Python).
+
+Mirrors the reference's per-InputFormat converter dispatch
+(services/docling_converter.py:63-67) as a kind-keyed kernel table.
+Each RAW span is independently extractable (html/docx docs are a
+single span; pdf docs carry one ``pdf_page`` span per page, and
+reading order within a page is page-local) — this independence is what
+lets the Spark pipeline shard oversized PDFs across partitions and
+reassemble by (raw_offset, local_order).
+"""
+
+from __future__ import annotations
+
+from docling_api_spark.kernels.docx import extract_docx
+from docling_api_spark.kernels.html import extract_html
+from docling_api_spark.kernels.pdf import extract_pdf_page
+
+__all__ = ["extract_raw_span", "KERNELS"]
+
+KERNELS = {
+    "html": extract_html,
+    "pdf_page": extract_pdf_page,
+    "docx_xml": extract_docx,
+}
+
+
+def extract_raw_span(kind: str, text: str | None, media_prefix: str = "") -> list[dict]:
+    """Extract one raw span; unknown kinds pass through as plain text
+    (parity with the reference treating unhandled formats as text,
+    README.md multi-format list)."""
+    if text is None:
+        return []
+    kernel = KERNELS.get(kind)
+    if kernel is None:
+        t = " ".join(text.split())
+        return [{"kind": "text", "text": t, "media_ref": ""}] if t else []
+    return kernel(text, media_prefix=media_prefix)

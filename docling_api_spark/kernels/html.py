@@ -1,0 +1,291 @@
+"""HTML main-content extraction kernel (pure Python, deterministic).
+
+Re-implements the boilerplate-stripping semantics the reference gets
+from docling's HTML backend (reference services/docling_converter.py:63-67
+dispatches InputFormat.HTML), using only published techniques:
+
+  * subtree pruning of structural boilerplate containers
+    (nav/header/footer/aside/script/style/form/noscript) and of
+    elements whose class/id matches an ad/menu vocabulary — the
+    "tag-density" family of heuristics;
+  * link-text-ratio block scoring: a candidate text block whose
+    anchor-text share exceeds LINK_RATIO_MAX is classified boilerplate
+    and dropped (Readability/boilerpipe-style block classification);
+  * block classification into the output span vocabulary
+    heading | text | list_item | code | table | image | caption.
+
+Determinism contract: fixed thresholds (LINK_RATIO_MAX = 0.5,
+MIN_TEXT_CHARS = 1), whitespace collapsed to single spaces, entities
+unescaped, spans emitted in document order. No randomness, no
+environment dependence.
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["extract_html"]
+
+LINK_RATIO_MAX = 0.5  # block dropped if anchor chars / total chars > this
+MIN_TEXT_CHARS = 1
+
+# Containers whose entire subtree is boilerplate.
+_PRUNE_TAGS = frozenset(
+    {"script", "style", "nav", "header", "footer", "aside", "form", "noscript", "template", "iframe", "head", "title"}
+)
+# class/id tokens that mark a subtree as boilerplate.
+_PRUNE_CLASS_RE = re.compile(
+    r"(?:^|[\s_-])(?:ad|ads|advert|advertisement|banner|sidebar|menu|promo|breadcrumb|"
+    r"cookie|popup|share|social|related|comment|widget)(?:$|[\s_-])",
+    re.IGNORECASE,
+)
+
+# Block-level elements that collect text into a typed span.
+_BLOCK_KIND = {
+    "h1": "heading",
+    "h2": "heading",
+    "h3": "heading",
+    "h4": "heading",
+    "h5": "heading",
+    "h6": "heading",
+    "p": "text",
+    "li": "list_item",
+    "pre": "code",
+    "blockquote": "text",
+    "figcaption": "caption",
+    "caption": "caption",
+}
+# Elements that flush any pending bare-text run.
+_FLUSH_TAGS = frozenset(
+    set(_BLOCK_KIND) | {"div", "section", "article", "main", "body", "table", "ul", "ol", "figure", "br", "hr"}
+)
+
+_TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>|<!--.*?-->", re.DOTALL)
+_ATTR_RE = re.compile(r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]+)")
+_WS_RE = re.compile(r"\s+")
+
+_ENTITIES = {
+    "&amp;": "&",
+    "&lt;": "<",
+    "&gt;": ">",
+    "&quot;": '"',
+    "&#39;": "'",
+    "&apos;": "'",
+    "&nbsp;": " ",
+}
+_ENTITY_RE = re.compile("|".join(re.escape(k) for k in _ENTITIES))
+_VOID_TAGS = frozenset({"img", "br", "hr", "meta", "link", "input", "source", "wbr", "area", "base", "col", "embed"})
+
+
+def _unescape(text: str) -> str:
+    return _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], text)
+
+
+def _norm(text: str) -> str:
+    return _WS_RE.sub(" ", _unescape(text)).strip()
+
+
+def _attrs(attr_src: str) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _ATTR_RE.finditer(attr_src):
+        val = m.group(2)
+        if val and val[0] in "\"'":
+            val = val[1:-1]
+        out[m.group(1).lower()] = _unescape(val)
+    return out
+
+
+class _Block:
+    """An open block element accumulating text + anchor-char stats."""
+
+    __slots__ = ("kind", "parts", "anchor_chars", "total_chars")
+
+    def __init__(self, kind: str) -> None:
+        self.kind = kind
+        self.parts: list[str] = []
+        self.anchor_chars = 0
+        self.total_chars = 0
+
+    def add(self, text: str, in_anchor: bool) -> None:
+        self.parts.append(text)
+        n = len(_norm(text))
+        self.total_chars += n
+        if in_anchor:
+            self.anchor_chars += n
+
+
+def extract_html(markup: str, media_prefix: str = "") -> list[dict]:
+    """Extract ordered output spans from an HTML document string.
+
+    Returns a list of ``{"kind","text","media_ref"}`` dicts in reading
+    (document) order. Images become ``kind='image'`` spans with
+    ``media_ref`` = the src attribute (as-is); tables become a single
+    ``kind='table'`` span whose text is rows joined by newline with
+    cells joined by `` | ``; a <caption>/<figcaption> yields a separate
+    ``caption`` span *after* its table/figure (provenance order mirrors
+    the reference's caption handling, services/multimodal_service.py:67-69).
+    """
+    spans: list[dict] = []
+    prune_depth = 0  # >0 → inside a pruned subtree
+    prune_stack: list[str] = []
+    anchor_depth = 0
+    block_stack: list[_Block] = []
+    pending: list[str] = []  # bare text not inside a block element
+    pending_anchor = 0
+    pending_total = 0
+    # table state
+    table_depth = 0
+    table_rows: list[list[str]] = []
+    table_caption: str | None = None
+    cell_parts: list[str] = []
+    in_cell = False
+
+    def flush_pending() -> None:
+        nonlocal pending, pending_anchor, pending_total
+        if pending:
+            text = _norm("".join(pending))
+            if len(text) >= MIN_TEXT_CHARS and not (
+                pending_total > 0 and pending_anchor / pending_total > LINK_RATIO_MAX
+            ):
+                spans.append({"kind": "text", "text": text, "media_ref": ""})
+        pending = []
+        pending_anchor = 0
+        pending_total = 0
+
+    def close_block() -> None:
+        blk = block_stack.pop()
+        text = _norm("".join(blk.parts))
+        if len(text) < MIN_TEXT_CHARS:
+            return
+        if blk.kind in ("text", "list_item") and blk.total_chars > 0:
+            if blk.anchor_chars / blk.total_chars > LINK_RATIO_MAX:
+                return  # boilerplate: link-dominated block
+        spans.append({"kind": blk.kind, "text": text, "media_ref": ""})
+
+    def flush_table() -> None:
+        nonlocal table_rows, table_caption
+        if table_rows:
+            ncols = max(len(r) for r in table_rows)
+            rows = [r + [""] * (ncols - len(r)) for r in table_rows]
+            text = "\n".join(" | ".join(c for c in row) for row in rows)
+            spans.append({"kind": "table", "text": text, "media_ref": ""})
+            if table_caption:
+                spans.append({"kind": "caption", "text": table_caption, "media_ref": ""})
+        table_rows = []
+        table_caption = None
+
+    pos = 0
+    for m in _TAG_RE.finditer(markup):
+        raw_text = markup[pos : m.start()]
+        pos = m.end()
+        if raw_text and prune_depth == 0:
+            if table_depth > 0:
+                if in_cell:
+                    cell_parts.append(raw_text)
+            elif block_stack:
+                block_stack[-1].add(raw_text, anchor_depth > 0)
+            else:
+                n = len(_norm(raw_text))
+                pending.append(raw_text)
+                pending_total += n
+                if anchor_depth > 0:
+                    pending_anchor += n
+        if m.group(2) is None:
+            continue  # comment
+        closing, tag, attr_src, self_close = m.group(1), m.group(2).lower(), m.group(3), m.group(4)
+        is_void = tag in _VOID_TAGS
+
+        if not closing:
+            attrs = _attrs(attr_src) if attr_src else {}
+            classid = (attrs.get("class", "") + " " + attrs.get("id", "")).strip()
+            prunable = tag in _PRUNE_TAGS or (classid and _PRUNE_CLASS_RE.search(classid))
+            if prune_depth > 0:
+                if not is_void and not self_close:
+                    prune_depth += 1
+                    prune_stack.append(tag)
+                continue
+            if prunable:
+                if not is_void and not self_close:
+                    prune_depth = 1
+                    prune_stack = [tag]
+                continue
+            if tag == "img":
+                src = attrs.get("src", "")
+                alt = _norm(attrs.get("alt", ""))
+                spans_target = spans
+                if block_stack or table_depth > 0:
+                    # image inline in a block/table: still its own span, emitted now
+                    pass
+                spans_target.append(
+                    {"kind": "image", "text": alt, "media_ref": (media_prefix + src) if src else ""}
+                )
+                continue
+            if tag in _FLUSH_TAGS and not block_stack and table_depth == 0:
+                flush_pending()
+            if tag == "table":
+                table_depth += 1
+                if table_depth == 1:
+                    table_rows = []
+                    table_caption = None
+                continue
+            if table_depth > 0:
+                if tag == "tr":
+                    table_rows.append([])
+                elif tag in ("td", "th"):
+                    in_cell = True
+                    cell_parts = []
+                elif tag == "caption":
+                    # caption text collected via cell machinery
+                    in_cell = True
+                    cell_parts = []
+                continue
+            if tag == "a":
+                anchor_depth += 1
+                continue
+            kind = _BLOCK_KIND.get(tag)
+            if kind is not None:
+                block_stack.append(_Block(kind))
+            continue
+
+        # closing tag
+        if prune_depth > 0:
+            if prune_stack and tag == prune_stack[-1]:
+                prune_stack.pop()
+                prune_depth -= 1
+            elif tag in _PRUNE_TAGS:
+                prune_depth = max(0, prune_depth - 1)
+            continue
+        if tag == "a":
+            anchor_depth = max(0, anchor_depth - 1)
+            continue
+        if tag == "table":
+            if table_depth == 1:
+                flush_table()
+            table_depth = max(0, table_depth - 1)
+            continue
+        if table_depth > 0:
+            if tag in ("td", "th"):
+                if table_rows and in_cell:
+                    table_rows[-1].append(_norm("".join(cell_parts)))
+                in_cell = False
+            elif tag == "caption":
+                table_caption = _norm("".join(cell_parts)) or None
+                in_cell = False
+            continue
+        if tag in _BLOCK_KIND and block_stack and block_stack[-1].kind == _BLOCK_KIND[tag]:
+            close_block()
+            continue
+        if tag in _FLUSH_TAGS and not block_stack:
+            flush_pending()
+
+    # trailing bare text
+    if prune_depth == 0 and pos < len(markup):
+        raw_text = markup[pos:]
+        if raw_text and not block_stack and table_depth == 0:
+            n = len(_norm(raw_text))
+            pending.append(raw_text)
+            pending_total += n
+    while block_stack:
+        close_block()
+    flush_pending()
+    return spans

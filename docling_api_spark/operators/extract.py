@@ -1,0 +1,222 @@
+"""The extraction pipeline (SURVEY.md §3.1-3.2 Spark mapping).
+
+    corpus → size filter → explode raw spans → salted repartition
+           → mapInPandas(kernel dispatch) → per-doc reassembly
+
+Scale design (the 100 TB story):
+
+* **Skew is defused structurally.** The unit of extraction is the RAW
+  span, not the document: a 260-page PDF becomes 260 independent rows
+  before the shuffle, so one oversized doc can never pin a partition
+  (north_rule's oversized-PDF shards). The explicit
+  ``repartition(P, xxhash64(doc_id, offset))`` spreads pages of the
+  same doc uniformly across the cluster.
+* **One shuffle in, one shuffle out.** The salted repartition is the
+  only pre-kernel shuffle; reassembly is a single hash aggregation on
+  doc_id (partial aggregation applies — collect_list combines
+  map-side). No driver-side collection anywhere.
+* **Arrow-only Python.** Kernels run inside ``mapInPandas`` batches;
+  there is no row-at-a-time Spark UDF on this path (input_hint
+  contract).
+* Reading-order reassembly is ``sort_array`` over
+  (raw_offset, local_order) followed by an index-renumbering
+  ``transform`` — all JVM-side, whole-stage-codegen'd.
+
+Parity: reference services/docling_service.py:20-33 (per-doc convert),
+services/file_utils.py:15-49 (50 MB size gate), docling converter
+dispatch services/docling_converter.py:43-99.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from docling_api_spark import MAX_FILE_SIZE_BYTES
+from docling_api_spark.kernels import extract_raw_span
+
+FLAT_DDL = (
+    "doc_id string, raw_offset int, local_order int, "
+    "kind string, text string, media_ref string, page int"
+)
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched kernel dispatch: one input row per RAW span, one
+    output row per OUTPUT span. Kernel objects are plain functions —
+    initialized once per Python worker at import (fixes the reference's
+    converter-rebuilt-per-request anti-pattern,
+    services/docling_converter.py:78)."""
+    cols = ["doc_id", "raw_offset", "local_order", "kind", "text", "media_ref", "page"]
+    for pdf in batches:
+        out: dict[str, list] = {c: [] for c in cols}
+        for doc_id, rkind, rtext, roffset in zip(
+            pdf["doc_id"], pdf["raw_kind"], pdf["raw_text"], pdf["raw_offset"]
+        ):
+            page = int(roffset) if rkind == "pdf_page" else 0
+            for j, span in enumerate(extract_raw_span(rkind, rtext)):
+                out["doc_id"].append(doc_id)
+                out["raw_offset"].append(int(roffset))
+                out["local_order"].append(j)
+                out["kind"].append(span["kind"])
+                out["text"].append(span["text"])
+                out["media_ref"].append(span["media_ref"])
+                out["page"].append(page)
+        yield pd.DataFrame(out, columns=cols)
+
+
+def extract_flat(
+    corpus: DataFrame,
+    *,
+    max_size_bytes: int = MAX_FILE_SIZE_BYTES,
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """corpus → flat output spans (one row per extracted span).
+
+    ``salt_partitions`` sizes the salted repartition; default = session
+    shuffle partitions. Pass 0 to skip the explicit repartition (lets
+    AQE/input splits decide — useful for micro-benchmarks).
+    """
+    spark = corpus.sparkSession
+    if salt_partitions is None:
+        salt_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    raw = (
+        corpus.filter(F.col("size_bytes") <= F.lit(max_size_bytes))  # S1/S2 size gate
+        .select(
+            "doc_id",
+            F.explode("spans").alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("s.kind").alias("raw_kind"),
+            F.col("s.text").alias("raw_text"),
+            F.col("s.offset").alias("raw_offset"),
+        )
+    )
+    if salt_partitions:
+        # salted spread: pages of one oversized doc land on distinct partitions
+        raw = raw.repartition(salt_partitions, F.xxhash64("doc_id", "raw_offset"))
+    return raw.mapInPandas(_extract_batches, schema=FLAT_DDL)
+
+
+def reassemble(flat: DataFrame) -> DataFrame:
+    """flat spans → extracted(doc_id, spans) with global reading order.
+
+    Single hash-agg shuffle on doc_id; ordering restored JVM-side via
+    sort_array over the (raw_offset, local_order) prefix, then
+    renumbered 0..n-1 with a higher-order transform.
+    """
+    assembled = flat.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("raw_offset"),
+                    F.col("local_order"),
+                    F.col("kind"),
+                    F.col("text"),
+                    F.col("media_ref"),
+                )
+            )
+        ).alias("sorted_spans")
+    )
+    return assembled.select(
+        "doc_id",
+        F.transform(
+            "sorted_spans",
+            lambda s, i: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                i.cast("int").alias("order"),
+            ),
+        ).alias("spans"),
+    )
+
+
+def extract(corpus: DataFrame, **kwargs) -> DataFrame:
+    """corpus → extracted(doc_id, spans): the full pipeline."""
+    return reassemble(extract_flat(corpus, **kwargs))
+
+
+def media_table(flat: DataFrame) -> DataFrame:
+    """Side table of extracted media (reference ExtractedImage,
+    core/models.py:356-394): one row per image span, captions attached
+    when the immediately-following span is a caption."""
+    img = flat.filter(F.col("kind") == "image")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("raw_offset", "local_order")
+    cap = (
+        flat.filter(F.col("kind").isin("image", "caption"))
+        .withColumn("next_kind", F.lead("kind").over(w))
+        .withColumn("next_text", F.lead("text").over(w))
+        .filter(F.col("kind") == "image")
+        .select(
+            "doc_id",
+            "media_ref",
+            "raw_offset",
+            "local_order",
+            F.col("page").alias("page_number"),
+            F.when(F.col("next_kind") == "caption", F.col("next_text")).alias("caption"),
+        )
+    )
+    w2 = W.partitionBy("doc_id").orderBy("raw_offset", "local_order")
+    return cap.withColumn("media_index", F.row_number().over(w2) - 1).select(
+        "doc_id",
+        "media_ref",
+        "media_index",
+        "page_number",
+        F.lit("embedded").alias("media_type"),
+        "caption",
+    )
+
+
+def tables_table(flat: DataFrame) -> DataFrame:
+    """Side table of extracted tables (reference ExtractedTable,
+    core/models.py:315-353): num_rows/num_cols derived from the
+    engine-wide table text format; markdown + csv renders."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("raw_offset", "local_order")
+    tbl = (
+        flat.filter(F.col("kind").isin("table", "caption"))
+        .withColumn("next_kind", F.lead("kind").over(w))
+        .withColumn("next_text", F.lead("text").over(w))
+        .filter(F.col("kind") == "table")
+    )
+    rows = F.split(F.col("text"), "\n")
+    first_row_cells = F.split(F.element_at(rows, 1), r" \| ")
+    header_sep = F.concat(
+        F.lit("|"),
+        F.array_join(F.transform(first_row_cells, lambda _: F.lit(" --- |")), ""),
+    )
+    md_rows = F.transform(
+        rows, lambda r: F.concat(F.lit("| "), F.regexp_replace(r, r" \| ", " | "), F.lit(" |"))
+    )
+    markdown = F.concat(
+        F.element_at(md_rows, 1),
+        F.lit("\n"),
+        header_sep,
+        F.when(F.size(rows) > 1, F.concat(F.lit("\n"), F.array_join(F.slice(md_rows, 2, 100000), "\n"))).otherwise(
+            F.lit("")
+        ),
+    )
+    csv = F.array_join(F.transform(rows, lambda r: F.regexp_replace(r, r" \| ", ",")), "\n")
+    out = tbl.select(
+        "doc_id",
+        "raw_offset",
+        "local_order",
+        F.col("page").alias("page_number"),
+        F.size(rows).cast("int").alias("num_rows"),
+        F.size(first_row_cells).cast("int").alias("num_cols"),
+        F.when(F.col("next_kind") == "caption", F.col("next_text")).alias("caption"),
+        markdown.alias("markdown"),
+        csv.alias("csv"),
+    )
+    w2 = W.partitionBy("doc_id").orderBy("raw_offset", "local_order")
+    return out.withColumn("table_index", F.row_number().over(w2) - 1).select(
+        "doc_id", "table_index", "page_number", "num_rows", "num_cols", "caption", "markdown", "csv"
+    )

@@ -1,0 +1,66 @@
+"""Spark-path extraction: mapInPandas pipeline output must equal the
+pandas-path golden output for every doc (proving no per-row
+nondeterminism and salting/repartition invariance)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docling_api_spark.corpus import corpus_df, golden_df
+from docling_api_spark.operators.extract import extract, extract_flat, media_table, tables_table
+from docling_api_spark.operators.render import per_page_ndjson, rendered
+
+N_DOCS = 300
+
+
+def test_extract_matches_golden(spark):
+    corpus = corpus_df(spark, N_DOCS, partitions=7)
+    got = extract(corpus, salt_partitions=8)
+    want = golden_df(spark, N_DOCS, partitions=5)
+    diff = (
+        got.alias("g")
+        .join(want.alias("w"), "doc_id", "full_outer")
+        .filter(~(F.col("g.spans") == F.col("w.spans")) | F.col("g.spans").isNull() | F.col("w.spans").isNull())
+    )
+    assert diff.count() == 0
+    assert got.count() == N_DOCS
+
+
+def test_extract_stable_under_salting(spark):
+    """render(spans) stable under repartition/salting (SURVEY §5.3)."""
+    corpus = corpus_df(spark, 60, partitions=3)
+    a = extract(corpus, salt_partitions=2).orderBy("doc_id")
+    b = extract(corpus, salt_partitions=16).orderBy("doc_id")
+    assert [r.asDict() for r in a.collect()] == [r.asDict() for r in b.collect()]
+
+
+def test_size_gate(spark):
+    corpus = corpus_df(spark, 20)
+    out = extract(corpus, max_size_bytes=1)  # everything filtered
+    assert out.count() == 0
+
+
+def test_renders(spark):
+    corpus = corpus_df(spark, 30)
+    ext = extract(corpus)
+    txt = rendered(ext, "text")
+    md = rendered(ext, "markdown")
+    js = rendered(ext, "json")
+    assert txt.filter(F.length("content") > 0).count() == 30
+    assert md.filter(F.col("content").contains("## ")).count() > 0
+    assert js.filter(F.col("content").startswith("[")).count() == 30
+
+
+def test_per_page_and_side_tables(spark):
+    corpus = corpus_df(spark, 80, partitions=4)
+    flat = extract_flat(corpus, salt_partitions=8)
+    pages = per_page_ndjson(flat)
+    assert pages.filter(F.col("line").contains('"page"')).count() == pages.count()
+    # pdf docs have ≥1 page row each, html/docx exactly one page (0)
+    media = media_table(flat)
+    assert media.filter(F.col("media_ref") == "").count() == 0
+    tabs = tables_table(flat)
+    bad = tabs.filter((F.col("num_rows") < 1) | (F.col("num_cols") < 1)).count()
+    assert bad == 0
+    # markdown render has a separator row
+    assert tabs.filter(~F.col("markdown").contains("---")).count() == 0

@@ -1,0 +1,81 @@
+"""Golden span fixtures — the north-rule invariant (BASELINE.json):
+(kind, text, media_ref, order) sequence equality, checked row-by-row.
+Kernels are pure functions, tested without Spark here; the Spark path
+is proved equal in test_extract_spark.py."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from docling_api_spark.corpus import gen_doc
+from docling_api_spark.kernels import extract_raw_span
+from docling_api_spark.kernels.docx import extract_docx
+from docling_api_spark.kernels.html import extract_html
+from docling_api_spark.kernels.pdf import extract_pdf_page
+
+FIXDIR = Path(__file__).parent / "fixtures"
+
+
+def _load(name: str):
+    return json.loads((FIXDIR / name).read_text())
+
+
+def _numbered(spans: list[dict]) -> list[dict]:
+    return [
+        {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"], "order": i}
+        for i, s in enumerate(spans)
+    ]
+
+
+@pytest.mark.parametrize("fx", _load("html_fixtures.json"), ids=lambda f: f["name"])
+def test_html_golden(fx):
+    assert _numbered(extract_html(fx["input"])) == fx["expected"]
+
+
+@pytest.mark.parametrize("fx", _load("pdf_fixtures.json"), ids=lambda f: f["name"])
+def test_pdf_golden(fx):
+    assert _numbered(extract_pdf_page(fx["input"])) == fx["expected"]
+
+
+@pytest.mark.parametrize("fx", _load("docx_fixtures.json"), ids=lambda f: f["name"])
+def test_docx_golden(fx):
+    assert _numbered(extract_docx(fx["input"])) == fx["expected"]
+
+
+def test_unknown_kind_passthrough():
+    assert extract_raw_span("txt", "  plain   text ") == [
+        {"kind": "text", "text": "plain text", "media_ref": ""}
+    ]
+    assert extract_raw_span("txt", None) == []
+    assert extract_raw_span("txt", "   ") == []
+
+
+@pytest.mark.parametrize("i", list(range(0, 120)) + [499])
+def test_corpus_roundtrip(i):
+    """Generator golden == kernel output for every synthetic doc,
+    including the oversized (skew-tail) PDF at index 499."""
+    doc, golden = gen_doc(i)
+    out: list[dict] = []
+    for s in sorted(doc["spans"], key=lambda s: s["offset"]):
+        out.extend(extract_raw_span(s["kind"], s["text"]))
+    assert _numbered(out) == golden
+
+
+def test_corpus_offsets_strictly_increasing():
+    for i in range(50):
+        doc, _ = gen_doc(i)
+        offs = [s["offset"] for s in doc["spans"]]
+        assert offs == sorted(set(offs))
+
+
+def test_boilerplate_absent():
+    """nav/footer/ads/pageno text never reaches output spans."""
+    for i in range(40):
+        doc, golden = gen_doc(i)
+        joined = " ".join(g["text"] for g in golden)
+        assert "internal header" not in joined
+        assert "footer text" not in joined
+        assert "Sitemap" not in joined and "Privacy" not in joined

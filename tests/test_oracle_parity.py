@@ -1,0 +1,71 @@
+"""Local mirror of the driver's correctness gate: run every
+``queries()`` entry at sf0.01 and compare against its ``oracle_sql()``
+in DuckDB — row count, column names, and exact values (rows compared
+order-insensitively, columns aligned by sorted name), matching the
+driver's value-hash semantics."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _duck(sql: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con.execute(sql).fetch_df()
+
+
+def _norm_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return round(v, 9)
+        return round(v, 9)
+    if hasattr(v, "item"):  # numpy scalar
+        return _norm_cell(v.item())
+    return v
+
+
+def _canon(df_pandas):
+    cols = sorted(df_pandas.columns)
+    rows = [tuple(_norm_cell(v) for v in row) for row in df_pandas[cols].itertuples(index=False)]
+    return cols, sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES))
+def test_oracle_parity(spark, name):
+    got = _QUERIES[name](spark, SF_DIR).toPandas()
+    want = _duck(_ORACLES[name])
+    gc, gr = _canon(got)
+    wc, wr = _canon(want)
+    assert gc == wc, f"{name}: column mismatch {gc} vs {wc}"
+    assert len(gr) == len(wr), f"{name}: row count {len(gr)} vs {len(wr)}"
+    mismatches = [(a, b) for a, b in zip(gr, wr) if a != b]
+    assert not mismatches, f"{name}: first value mismatch {mismatches[0]}"
+
+
+def test_all_queries_have_entries():
+    assert set(_ORACLES) <= set(_QUERIES)
+    assert len(_QUERIES) >= 3
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.limit(5).collect()
+    assert len(rows) > 0 and "content" in df.columns
