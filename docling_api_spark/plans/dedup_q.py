@@ -1,0 +1,101 @@
+"""Deduplication queries over a planted-duplicate corpus.
+
+The driver's `documents` table has no natural duplicates, so each
+query derives a deterministic dup-corpus with pure column ops (exact
+copies of every 10th doc, 3-token-suffix near-copies of docs ≡5 mod
+10) — the identical construction is a CTE in the oracle SQL, so both
+engines see the same input.
+
+Oracle strength note: `dedup_minhash_pairs`'s oracle is the
+*brute-force* pairwise Jaccard ≥ τ — the semantic ground truth, not a
+SQL transliteration of LSH. The Spark side must therefore achieve
+perfect recall/precision on this corpus for the hashes to match
+(precision is guaranteed by the exact verification stage; recall by
+32 hashes × 16 bands at the planted similarity levels, miss
+probability < 1e-14).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docling_api_spark.operators.dedup import (
+    dedup_exact as _dedup_exact,
+)
+from docling_api_spark.operators.dedup import (
+    dedup_minhash,
+    jaccard_to_reference,
+)
+from docling_api_spark.plans import _sql as S
+from docling_api_spark.plans.registry import query
+from docling_api_spark.sources.catalog import load
+
+_TOKS = S.toks("text")
+
+
+def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + planted exact/near duplicates (twin:
+    _sql.DUP_CORPUS_CTE)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+        WITH {S.DUP_CORPUS_CTE.strip()}
+        SELECT {S.md5long("text")} AS content_hash,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM dup_corpus
+        GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy, min-id survivor (the first, cheapest
+    pass of a 100 TB dedup cascade)."""
+    return _dedup_exact(dup_corpus(spark, sf_dir))
+
+
+@query(
+    "dedup_minhash_pairs",
+    oracle=f"""
+        WITH {S.DUP_CORPUS_CTE.strip()},
+        sh AS (SELECT doc_id, {S.shingles3(_TOKS)} AS sh FROM dup_corpus)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               ROUND(len(list_intersect(a.sh, b.sh)) /
+                     CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 4) AS jac
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) /
+              CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8
+    """,
+)
+def dedup_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified ≥ 0.8.
+    Oracle = brute-force ground truth (see module docstring)."""
+    return dedup_minhash(dup_corpus(spark, sf_dir), threshold=0.8)
+
+
+@query(
+    "ngram_jaccard_ref",
+    oracle=f"""
+        WITH sh AS (SELECT doc_id, {S.shingles3(_TOKS)} AS sh FROM documents),
+             r AS (SELECT sh AS ref_sh FROM sh WHERE doc_id = 0)
+        SELECT doc_id,
+               ROUND(len(list_intersect(sh, ref_sh)) /
+                     CAST(len(list_distinct(sh || ref_sh)) AS DOUBLE), 4) AS jac
+        FROM sh CROSS JOIN r
+    """,
+)
+def ngram_jaccard_ref(spark, sf_dir):
+    """Linear 3-gram Jaccard of every doc vs doc 0 (the similarity
+    measure itself, SQL-checkable without pairwise blowup)."""
+    return jaccard_to_reference(load(spark, sf_dir, "documents"), ref_id=0)

@@ -50,8 +50,10 @@ def _load_all() -> None:
         relational_q,
     )
 
-    try:
-        from docling_api_spark.plans import dedup_q, similarity_q, textstats_q  # noqa: F401
-    except ImportError:
-        pass
+    from docling_api_spark.plans import (  # noqa: F401
+        chunk_q,
+        dedup_q,
+        similarity_q,
+        textstats_q,
+    )
     _LOADED = True

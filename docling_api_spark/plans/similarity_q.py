@@ -1,0 +1,95 @@
+"""Similarity-search queries over the `embeddings` table (64-dim
+float vectors). Reference parity: sqlite-vec exact KNN
+(core/vector_store.py:54-74) + the engine's approximate scale path.
+
+Everything — including the *approximate* SRP-LSH path — is exactly
+oracle-checkable because hyperplanes derive from the md5 hash family
+and dot products accumulate in index order on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docling_api_spark.operators.dedup import embedding_dup_pairs
+from docling_api_spark.operators.search import ann_topk, knn_topk
+from docling_api_spark.plans import _sql as S
+from docling_api_spark.plans.registry import query
+from docling_api_spark.sources.catalog import load
+
+DIM = 64
+_COS = S.cosine("e.embedding", "q.qv", DIM)
+
+
+def _query_vec(spark, sf_dir, vec_id: int = 0):
+    return (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select(F.col("embedding").alias("qv"))
+    )
+
+
+@query(
+    "knn_cosine_topk",
+    oracle=f"""
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id, {_COS} AS sim
+        FROM embeddings e CROSS JOIN q
+        ORDER BY sim DESC, e.vec_id
+        LIMIT 10
+    """,
+)
+def knn_cosine_topk(spark, sf_dir):
+    """Exact brute-force KNN (T1/T2): broadcast query × corpus scan,
+    JVM-side cosine, TakeOrderedAndProject — the reference's exact
+    semantics, linear-scan scale path to ~10^7 vectors."""
+    return knn_topk(load(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=10)
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+        WITH {S.srp_planes_cte(DIM, 8)},
+             {S.srp_sigs_cte("embeddings", "vec_id", "embedding", DIM)},
+             q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+             qs AS (SELECT bucket AS qbucket FROM sigs WHERE id = 0)
+        SELECT e.vec_id, {_COS} AS sim
+        FROM embeddings e
+        JOIN sigs s ON s.id = e.vec_id
+        CROSS JOIN q CROSS JOIN qs
+        WHERE s.bucket = qs.qbucket
+        ORDER BY sim DESC, e.vec_id
+        LIMIT 5
+    """,
+)
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate KNN: SRP-LSH bucket probe + exact rescoring inside
+    the bucket. At 10^9+ vectors the bucket is the partition key → the
+    probe prunes to one partition instead of a full sweep. (8 bits
+    here so buckets hold ~2 candidates at this corpus size; bit width
+    scales with log2(corpus/target-bucket-size).)"""
+    return ann_topk(
+        load(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), dim=DIM, k=5, n_bits=8
+    )
+
+
+@query(
+    "embedding_dup_pairs",
+    oracle=f"""
+        WITH {S.DUP_VECTORS_CTE.strip()}
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               {S.cosine("a.embedding", "b.embedding", DIM)} AS cos
+        FROM dup_vectors a JOIN dup_vectors b ON a.vec_id < b.vec_id
+        WHERE {S.cosine("a.embedding", "b.embedding", DIM)} >= 0.9
+    """,
+)
+def embedding_dup_pairs_q(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via SRP-LSH buckets + exact
+    verification; oracle = brute-force ground truth (natural max
+    off-diagonal cosine in this table is 0.51, planted dups are 1.0,
+    so bucket recall at τ=0.9 is exact by construction)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return embedding_dup_pairs(e.unionByName(planted), dim=DIM, threshold=0.9, n_bits=8)

@@ -1,0 +1,197 @@
+"""Text-analysis operators (training-pipeline extension scope):
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting, SimHash signatures. All pure Catalyst expressions over
+the `documents` table, each with an exact DuckDB oracle (shared
+md5-prefix-32 hash family — see functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docling_api_spark.functions.hashing import (
+    hamming32,
+    md5_long,
+    rolling_fingerprint,
+    simhash_from_hashes,
+    tokens,
+)
+from pyspark.sql.functions import transform as _transform
+from docling_api_spark.plans import _sql as S
+from docling_api_spark.plans.registry import query
+from docling_api_spark.sources.catalog import load
+
+_TOKS = S.toks("text")
+
+
+@query(
+    "token_count_bpe",
+    oracle=f"""
+        SELECT doc_id,
+               len({_TOKS}) AS n_ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens
+        FROM documents
+    """,
+)
+def token_count_bpe(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts (chunker's budget unit,
+    reference token_count core/models.py:110-154)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]"), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+_STOP_EN = ["the", "a", "of", "and", "to", "in"]
+
+
+@query(
+    "textstats_quality",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, n_chars, {_TOKS} AS tok FROM documents)
+        SELECT doc_id,
+               len(tok) AS n_tokens,
+               ROUND(list_sum(list_prepend(0, list_transform(tok, x -> len(x)))) /
+                     CAST(len(tok) AS DOUBLE), 4) AS mean_tok_len,
+               ROUND(len(list_filter(tok, x -> list_contains({_STOP_EN!r}, x))) /
+                     CAST(len(tok) AS DOUBLE), 4) AS stop_ratio,
+               ROUND(0.5 * LEAST(len(tok) / 100.0, 1.0) +
+                     0.5 * (len(list_filter(tok, x -> list_contains({_STOP_EN!r}, x))) /
+                            CAST(len(tok) AS DOUBLE)), 4) AS quality
+        FROM t
+    """,
+)
+def textstats_quality(spark, sf_dir):
+    """Document quality scoring: length + stopword-density composite
+    (the boilerplate/garbage filter a 100 TB training pipeline runs
+    before chunking). Pure expressions — whole-stage codegen."""
+    d = load(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    n = F.size(tok).cast("double")
+    stop_lits = F.array(*[F.lit(s) for s in _STOP_EN])
+    n_stop = F.size(F.filter(tok, lambda x: F.array_contains(stop_lits, x)))
+    char_sum = F.aggregate(
+        F.transform(tok, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    stop_ratio = F.round(n_stop / n, 4)
+    return d.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.round(char_sum / n, 4).alias("mean_tok_len"),
+        stop_ratio.alias("stop_ratio"),
+        F.round(0.5 * F.least(F.size(tok) / 100.0, F.lit(1.0)) + 0.5 * (n_stop / n), 4).alias(
+            "quality"
+        ),
+    )
+
+
+_LANG_STOPS = {
+    "en": ["the", "a", "of", "and"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "les", "et"],
+    "es": ["el", "los", "las", "y"],
+}
+
+
+def _lang_score_sql(lang: str) -> str:
+    return (
+        f"len(list_filter(tok, x -> list_contains({_LANG_STOPS[lang]!r}, x)))"
+    )
+
+
+@query(
+    "langid_heuristic",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents)
+        SELECT doc_id,
+               {_lang_score_sql("en")} AS s_en,
+               {_lang_score_sql("de")} AS s_de,
+               {_lang_score_sql("fr")} AS s_fr,
+               {_lang_score_sql("es")} AS s_es,
+               CASE WHEN {_lang_score_sql("en")} >= {_lang_score_sql("de")}
+                     AND {_lang_score_sql("en")} >= {_lang_score_sql("fr")}
+                     AND {_lang_score_sql("en")} >= {_lang_score_sql("es")} THEN 'en'
+                    WHEN {_lang_score_sql("de")} >= {_lang_score_sql("fr")}
+                     AND {_lang_score_sql("de")} >= {_lang_score_sql("es")} THEN 'de'
+                    WHEN {_lang_score_sql("fr")} >= {_lang_score_sql("es")} THEN 'fr'
+                    ELSE 'es' END AS predicted
+        FROM t
+    """,
+)
+def langid_heuristic(spark, sf_dir):
+    """Stopword-profile language ID (n-gram-heuristic family):
+    per-language stopword hit counts, deterministic argmax."""
+    d = load(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    base = d.select("doc_id", tok.alias("tok"))
+
+    def score(lang: str):
+        lits = F.array(*[F.lit(s) for s in _LANG_STOPS[lang]])
+        return F.size(F.filter(F.col("tok"), lambda x: F.array_contains(lits, x)))
+
+    scored = base.select(
+        "doc_id",
+        score("en").alias("s_en"),
+        score("de").alias("s_de"),
+        score("fr").alias("s_fr"),
+        score("es").alias("s_es"),
+    )
+    predicted = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_es")), "de")
+        .when(F.col("s_fr") >= F.col("s_es"), "fr")
+        .otherwise("es")
+    )
+    return scored.withColumn("predicted", predicted)
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents)
+        SELECT doc_id, {S.fingerprint("tok")} AS fp, {S.md5long("doc_id::VARCHAR")} AS id_hash
+        FROM t
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Rolling polynomial fingerprint over token hashes (order
+    sensitive — permuted docs get distinct prints, unlike bag hashes)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        rolling_fingerprint(tokens(F.col("text"))).alias("fp"),
+        md5_long(F.col("doc_id")).alias("id_hash"),
+    )
+
+
+@query(
+    "simhash_signatures",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {S.simhash32(S.toks("text"))} AS sig FROM documents),
+             r AS (SELECT sig AS ref_sig FROM t WHERE doc_id = 0)
+        SELECT doc_id, sig, bit_count(xor(sig, ref_sig)) AS ham_to_ref
+        FROM t CROSS JOIN r
+    """,
+)
+def simhash_signatures(spark, sf_dir):
+    """32-bit SimHash per doc + Hamming distance to doc 0 (near-dup
+    radius query). Signature is one shuffle-free expression; the
+    distance probe broadcasts the single reference row."""
+    d = load(spark, sf_dir, "documents")
+    # md5 array projected once; 32 per-bit votes read the materialized
+    # array (CollapseProject keeps the barrier: non-cheap alias used 32×)
+    hashed = d.select("doc_id", _transform(tokens(F.col("text")), md5_long).alias("th"))
+    sigs = hashed.select("doc_id", simhash_from_hashes(F.col("th")).alias("sig"))
+    ref = sigs.filter(F.col("doc_id") == 0).select(F.col("sig").alias("ref_sig"))
+    return sigs.crossJoin(F.broadcast(ref)).select(
+        "doc_id", "sig", hamming32(F.col("sig"), F.col("ref_sig")).alias("ham_to_ref")
+    )

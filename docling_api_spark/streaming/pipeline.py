@@ -1,0 +1,118 @@
+"""Streaming pipelines (SURVEY.md §2.9).
+
+The reference's streaming is *transport* (byte-chunk generators +
+SSE envelopes, services/docling_streaming.py:12-55) and its dataflow
+incrementality is queue-based background work with an idempotent
+pending-work predicate (ARQ jobs, core/jobs.py:22-24,106-130). The
+faithful Spark mapping is **incremental batch**: Structured Streaming
+over the corpus directory with ``Trigger.AvailableNow`` — each
+invocation processes exactly the files not yet recorded in the
+streaming checkpoint, then stops. That is the reference's
+"process pending then idle" loop, with Spark's checkpoint replacing
+the ``has_embedding == False`` scan.
+
+Also provided: an event-time windowed metrics stream with a watermark
+(the stateful-operator surface a live deployment would add in front
+of the extraction sink — late data folded in up to the watermark).
+
+Everything runs through the same ``extract_flat`` kernels as batch;
+``mapInPandas`` is streaming-compatible, so the batch and streaming
+paths share one code path (tested equal in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from docling_api_spark.operators.extract import extract_flat
+from docling_api_spark.schema import CORPUS
+
+
+def read_corpus_stream(spark: SparkSession, corpus_path: str) -> DataFrame:
+    """File-source stream over a corpus parquet directory. Streams
+    must declare their schema (no inference race on a live dir)."""
+    return (
+        spark.readStream.schema(CORPUS)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(corpus_path)
+    )
+
+
+def stream_extract(
+    spark: SparkSession,
+    corpus_path: str,
+    out_path: str,
+    checkpoint_path: str,
+) -> StreamingQuery:
+    """Incremental extraction: new corpus files → flat spans parquet.
+
+    ``availableNow`` = process the current backlog, commit the
+    streaming checkpoint, stop — rerunning after a kill (or on new
+    files) resumes from the checkpoint without reprocessing (the
+    engine-level twin of checkpoint.extract_with_checkpoint; this one
+    leans on Spark's own WAL instead of our manifest).
+
+    Flat spans (not reassembled docs) are the streaming sink shape:
+    reassembly is a blocking per-doc aggregation, which in a live
+    stream belongs to the reader (or a downstream batch compaction) —
+    append mode stays stateless and therefore exactly-once.
+    """
+    flat = extract_flat(read_corpus_stream(spark, corpus_path), salt_partitions=0)
+    return (
+        flat.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_windowed_metrics(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time windowed counts with late-data watermark (the
+    reference's history stats A1, restated over a stream): per
+    (window, event_type) count + value sum. Works on both a streaming
+    and a batch events DF (same plan, different sink semantics)."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ → TZ for event time
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def stream_metrics_query(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_path: str,
+) -> StreamingQuery:
+    """Streaming twin of the windowed metrics over a parquet events
+    dir; update-mode in-memory sink for inspection/tests."""
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    metrics = stream_windowed_metrics(stream)
+    return (
+        metrics.writeStream.format("memory")
+        .queryName("stream_metrics")
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )

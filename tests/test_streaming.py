@@ -1,0 +1,78 @@
+"""Streaming tests: availableNow incremental extraction equals the
+batch path; checkpoint prevents reprocessing; windowed metrics with
+watermark agree with the batch aggregation of the same events."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docling_api_spark.operators.extract import extract_flat
+from docling_api_spark.sources.catalog import load, wrap_documents_as_corpus
+from docling_api_spark.streaming.pipeline import (
+    stream_extract,
+    stream_metrics_query,
+    stream_windowed_metrics,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _flat_content(df):
+    rows = df.select("doc_id", "raw_offset", "local_order", "kind", "text").collect()
+    return sorted(map(tuple, rows))
+
+
+def test_stream_extract_matches_batch(spark, tmp_path):
+    corpus = wrap_documents_as_corpus(load(spark, SF_DIR, "documents").limit(100))
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write.parquet(corpus_path)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_extract(spark, corpus_path, out, ckpt)
+    q.awaitTermination(120)
+
+    got = _flat_content(spark.read.parquet(out))
+    want = _flat_content(extract_flat(spark.read.parquet(corpus_path), salt_partitions=0))
+    assert got == want
+
+
+def test_stream_checkpoint_no_reprocess(spark, tmp_path):
+    docs = load(spark, SF_DIR, "documents")
+    corpus_path = str(tmp_path / "corpus")
+    wrap_documents_as_corpus(docs.limit(50)).write.parquet(corpus_path)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream_extract(spark, corpus_path, out, ckpt).awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+
+    # second run, no new files → nothing appended
+    stream_extract(spark, corpus_path, out, ckpt).awaitTermination(120)
+    assert spark.read.parquet(out).count() == n1
+
+    # append a new corpus file → only its docs are processed
+    more = wrap_documents_as_corpus(
+        docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 80))
+    )
+    more.write.mode("append").parquet(corpus_path)
+    stream_extract(spark, corpus_path, out, ckpt).awaitTermination(120)
+    n3 = spark.read.parquet(out).count()
+    assert n3 > n1
+    ids = {r.doc_id for r in spark.read.parquet(out).select("doc_id").distinct().collect()}
+    assert len(ids) == 80
+
+
+def test_windowed_metrics_stream_equals_batch(spark, tmp_path):
+    # file stream sources need a directory, not a bare parquet file
+    events_path = str(tmp_path / "events")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").write.parquet(events_path)
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_metrics_query(spark, events_path, ckpt)
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM stream_metrics")
+    want = stream_windowed_metrics(spark.read.parquet(events_path))
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w
+    assert len(g) > 0
