@@ -75,6 +75,7 @@ def per_page_ndjson(flat: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             "page",
+            "content",
             F.to_json(F.struct(F.col("page"), F.col("content"))).alias("line"),
         )
     )

@@ -10,10 +10,19 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from docling_api_spark.operators.extract import extract, extract_flat
-from docling_api_spark.operators.render import render_text
+from docling_api_spark.operators.extract import (
+    extract,
+    extract_flat,
+    media_table,
+    tables_table,
+)
+from docling_api_spark.operators.render import per_page_ndjson, render_markdown, render_text
 from docling_api_spark.plans.registry import query
-from docling_api_spark.sources.catalog import load, wrap_documents_as_corpus
+from docling_api_spark.sources.catalog import (
+    load,
+    wrap_documents_as_corpus,
+    wrap_documents_as_rich_corpus,
+)
 
 
 @query(
@@ -65,4 +74,209 @@ def extract_metrics(spark, sf_dir):
     )
     return joined.groupBy("source").agg(
         F.count("*").alias("docs"), F.sum("chars").alias("total_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rich-corpus queries: heading + figure + table wrapped around each doc
+# make structural extraction (D4/D5), caption attachment, markdown
+# render, and per-page export all oracle-checkable (every element is a
+# deterministic function of the row; see wrap_documents_as_rich_corpus).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "extract_rich_spans",
+    # the north-rule invariant itself: exact (kind, text, media_ref, order)
+    oracle="""
+        SELECT doc_id, 0 AS ord, 'heading' AS kind,
+               'Heading for document ' || doc_id AS text, '' AS media_ref FROM documents
+        UNION ALL SELECT doc_id, 1, 'text', text, '' FROM documents
+        UNION ALL SELECT doc_id, 2, 'image', 'figure alt ' || doc_id, doc_id || '/m0' FROM documents
+        UNION ALL SELECT doc_id, 3, 'caption', 'Figure caption ' || doc_id, '' FROM documents
+        UNION ALL SELECT doc_id, 4, 'table',
+               'lang | ' || lang || chr(10) || 'chars | ' || n_chars, '' FROM documents
+    """,
+)
+def extract_rich_spans(spark, sf_dir):
+    corpus = wrap_documents_as_rich_corpus(load(spark, sf_dir, "documents"))
+    ext = extract(corpus)
+    exploded = ext.select(F.col("doc_id").cast("long").alias("doc_id"), F.explode("spans").alias("s"))
+    return exploded.select(
+        "doc_id",
+        F.col("s.order").alias("ord"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+@query(
+    "extract_media_sidecar",
+    # D5 / reference ExtractedImage (core/models.py:356-394): one media
+    # row per doc, caption attached from the adjacent caption span
+    oracle="""
+        SELECT doc_id, doc_id || '/m0' AS media_ref, 0 AS media_index,
+               0 AS page_number, 'embedded' AS media_type,
+               'Figure caption ' || doc_id AS caption
+        FROM documents
+    """,
+)
+def extract_media_sidecar(spark, sf_dir):
+    corpus = wrap_documents_as_rich_corpus(load(spark, sf_dir, "documents"))
+    flat = extract_flat(corpus)
+    return media_table(flat).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "media_ref",
+        "media_index",
+        "page_number",
+        "media_type",
+        "caption",
+    )
+
+
+@query(
+    "extract_tables_sidecar",
+    # D4 / reference ExtractedTable (core/models.py:315-353): cell grid
+    # dims + markdown/csv renders
+    oracle="""
+        SELECT doc_id, 0 AS table_index, 0 AS page_number,
+               2 AS num_rows, 2 AS num_cols,
+               CAST(NULL AS VARCHAR) AS caption,
+               '| lang | ' || lang || ' |' || chr(10) || '| --- | --- |' || chr(10) ||
+               '| chars | ' || n_chars || ' |' AS markdown,
+               'lang,' || lang || chr(10) || 'chars,' || n_chars AS csv
+        FROM documents
+    """,
+)
+def extract_tables_sidecar(spark, sf_dir):
+    corpus = wrap_documents_as_rich_corpus(load(spark, sf_dir, "documents"))
+    flat = extract_flat(corpus)
+    return tables_table(flat).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "table_index",
+        "page_number",
+        "num_rows",
+        "num_cols",
+        "caption",
+        "markdown",
+        "csv",
+    )
+
+
+@query(
+    "render_markdown_rich",
+    # S5 markdown export (export_to_markdown parity,
+    # services/docling_converter.py:89-93)
+    oracle="""
+        SELECT doc_id,
+               '## Heading for document ' || doc_id || chr(10) || chr(10) ||
+               text || chr(10) || chr(10) ||
+               '![figure alt ' || doc_id || '](' || doc_id || '/m0)' || chr(10) || chr(10) ||
+               '*Figure caption ' || doc_id || '*' || chr(10) || chr(10) ||
+               'lang | ' || lang || chr(10) || 'chars | ' || n_chars AS md
+        FROM documents
+    """,
+)
+def render_markdown_rich(spark, sf_dir):
+    corpus = wrap_documents_as_rich_corpus(load(spark, sf_dir, "documents"))
+    ext = extract(corpus)
+    return ext.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        render_markdown(F.col("spans")).alias("md"),
+    )
+
+
+@query(
+    "per_page_export",
+    # S8 per-page export (stream_pages parity,
+    # services/docling_streaming.py:19-38); html docs are single-page
+    oracle="""
+        SELECT doc_id, 0 AS page,
+               'Heading for document ' || doc_id || chr(10) ||
+               text || chr(10) ||
+               'figure alt ' || doc_id || chr(10) ||
+               'Figure caption ' || doc_id || chr(10) ||
+               'lang | ' || lang || chr(10) || 'chars | ' || n_chars AS content
+        FROM documents
+    """,
+)
+def per_page_export(spark, sf_dir):
+    corpus = wrap_documents_as_rich_corpus(load(spark, sf_dir, "documents"))
+    flat = extract_flat(corpus)
+    return per_page_ndjson(flat).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "page", "content"
+    )
+
+
+@query(
+    "extract_pdf_layout",
+    # XY-cut reading order (two-column page read left-before-right),
+    # furniture (pageno/footer) dropped, pages concatenated in order
+    oracle="""
+        SELECT doc_id, 0 AS ord, 'heading' AS kind,
+               'Heading for document ' || doc_id AS text FROM documents
+        UNION ALL SELECT doc_id, 1, 'text', 'left column for document ' || doc_id FROM documents
+        UNION ALL SELECT doc_id, 2, 'text', 'right column for document ' || doc_id FROM documents
+        UNION ALL SELECT doc_id, 3, 'text', text FROM documents
+    """,
+)
+def extract_pdf_layout(spark, sf_dir):
+    from docling_api_spark.sources.catalog import wrap_documents_as_pdf_corpus
+
+    corpus = wrap_documents_as_pdf_corpus(load(spark, sf_dir, "documents"))
+    ext = extract(corpus)
+    exploded = ext.select(F.col("doc_id").cast("long").alias("doc_id"), F.explode("spans").alias("s"))
+    return exploded.select(
+        "doc_id",
+        F.col("s.order").alias("ord"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+    )
+
+
+@query(
+    "pdf_per_page_export",
+    # S8 per-page export over a true multi-page doc
+    oracle="""
+        SELECT doc_id, 1 AS page,
+               'Heading for document ' || doc_id || chr(10) ||
+               'left column for document ' || doc_id || chr(10) ||
+               'right column for document ' || doc_id AS content
+        FROM documents
+        UNION ALL SELECT doc_id, 2, text FROM documents
+    """,
+)
+def pdf_per_page_export(spark, sf_dir):
+    from docling_api_spark.sources.catalog import wrap_documents_as_pdf_corpus
+
+    corpus = wrap_documents_as_pdf_corpus(load(spark, sf_dir, "documents"))
+    flat = extract_flat(corpus)
+    return per_page_ndjson(flat).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "page", "content"
+    )
+
+
+@query(
+    "extract_docx_roundtrip",
+    # D8 DOCX strip: style-mapped spans + 1×2 table
+    oracle="""
+        SELECT doc_id, 0 AS ord, 'heading' AS kind,
+               'Heading for document ' || doc_id AS text FROM documents
+        UNION ALL SELECT doc_id, 1, 'text', text FROM documents
+        UNION ALL SELECT doc_id, 2, 'list_item', 'list item for document ' || doc_id FROM documents
+        UNION ALL SELECT doc_id, 3, 'table', 'lang | ' || lang FROM documents
+    """,
+)
+def extract_docx_roundtrip(spark, sf_dir):
+    from docling_api_spark.sources.catalog import wrap_documents_as_docx_corpus
+
+    corpus = wrap_documents_as_docx_corpus(load(spark, sf_dir, "documents"))
+    ext = extract(corpus)
+    exploded = ext.select(F.col("doc_id").cast("long").alias("doc_id"), F.explode("spans").alias("s"))
+    return exploded.select(
+        "doc_id",
+        F.col("s.order").alias("ord"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
     )

@@ -41,6 +41,47 @@ _HTML_POST = (
 )
 
 
+def wrap_documents_as_rich_corpus(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text, lang, n_chars) → corpus whose HTML adds
+    a heading, a figure (img + figcaption), and a 2×2 table around the
+    text — making the media/table side-car extraction (D4/D5), the
+    markdown render, and caption attachment oracle-checkable: every
+    structural element is a deterministic function of the row.
+
+    Expected span sequence per doc (verified by the kernel):
+      heading('Heading for document <id>'),
+      text(<text>),
+      image(alt='figure alt <id>', ref='media://<id>/m0'),
+      caption('Figure caption <id>'),
+      table('lang | <lang>\\nchars | <n_chars>')
+    """
+    did = F.col("doc_id").cast("string")
+    markup = F.concat(
+        F.lit(_HTML_PRE.replace("<main><p>", "<main>")),
+        F.lit("<h1>Heading for document "), did, F.lit("</h1>"),
+        F.lit("<p>"), F.col("text"), F.lit("</p>"),
+        F.lit("<figure><img src='"), did, F.lit("/m0' alt='figure alt "), did,
+        F.lit("'><figcaption>Figure caption "), did, F.lit("</figcaption></figure>"),
+        F.lit("<table><tr><td>lang</td><td>"), F.col("lang"), F.lit("</td></tr>"),
+        F.lit("<tr><td>chars</td><td>"), F.col("n_chars").cast("string"),
+        F.lit("</td></tr></table>"),
+        F.lit(_HTML_POST.replace("</p></main>", "</main>")),
+    )
+    return docs.select(
+        did.alias("doc_id"),
+        F.lit("html").alias("fmt"),
+        F.length(markup).cast("long").alias("size_bytes"),
+        F.array(
+            F.struct(
+                F.lit("html").alias("kind"),
+                markup.alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+
 def wrap_documents_as_corpus(docs: DataFrame) -> DataFrame:
     """documents(doc_id:any, text) → corpus(doc_id, fmt, size_bytes, spans).
 
@@ -56,6 +97,73 @@ def wrap_documents_as_corpus(docs: DataFrame) -> DataFrame:
             F.struct(
                 F.lit("html").alias("kind"),
                 markup.alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+
+def wrap_documents_as_pdf_corpus(docs: DataFrame) -> DataFrame:
+    """documents → 2-page PDF block-model corpus exercising the layout
+    kernel's XY-cut + furniture drop (kernels/pdf.py):
+
+    page 1: full-width heading, then a two-column body (x-gutter
+    45..55) whose reading order must come out left-before-right, plus
+    a ``pageno`` furniture block that must be dropped;
+    page 2: the document text as one para + a dropped footer.
+
+    Expected span sequence: heading, left para, right para, text.
+    """
+    did = F.col("doc_id").cast("string")
+    page1 = F.concat(
+        F.lit("BLOCK 0,0,100,10,heading|Heading for document "), did, F.lit("\n"),
+        F.lit("BLOCK 0,25,45,80,para|left column for document "), did, F.lit("\n"),
+        F.lit("BLOCK 55,25,100,80,para|right column for document "), did, F.lit("\n"),
+        F.lit("BLOCK 0,95,100,100,pageno|1"),
+    )
+    page2 = F.concat(
+        F.lit("BLOCK 0,0,100,90,para|"), F.col("text"), F.lit("\n"),
+        F.lit("BLOCK 0,95,100,100,footer|corpus footer"),
+    )
+    span = lambda txt, off: F.struct(  # noqa: E731
+        F.lit("pdf_page").alias("kind"),
+        txt.alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(off).alias("offset"),
+    )
+    return docs.select(
+        did.alias("doc_id"),
+        F.lit("pdf").alias("fmt"),
+        (F.length(page1) + F.length(page2)).cast("long").alias("size_bytes"),
+        F.array(span(page1, 1), span(page2, 2)).alias("spans"),
+    )
+
+
+def wrap_documents_as_docx_corpus(docs: DataFrame) -> DataFrame:
+    """documents → simplified-WordprocessingML corpus for the DOCX
+    kernel (kernels/docx.py): Heading1 para, body para, ListParagraph,
+    and a 1×2 table. Expected spans: heading, text, list_item, table.
+    """
+    did = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit('<w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr>'
+              "<w:r><w:t>Heading for document "), did, F.lit("</w:t></w:r></w:p>"),
+        F.lit("<w:p><w:r><w:t>"), F.col("text"), F.lit("</w:t></w:r></w:p>"),
+        F.lit('<w:p><w:pPr><w:pStyle w:val="ListParagraph"/></w:pPr>'
+              "<w:r><w:t>list item for document "), did, F.lit("</w:t></w:r></w:p>"),
+        F.lit("<w:tbl><w:tr><w:tc><w:p><w:r><w:t>lang</w:t></w:r></w:p></w:tc>"
+              "<w:tc><w:p><w:r><w:t>"), F.col("lang"),
+        F.lit("</w:t></w:r></w:p></w:tc></w:tr></w:tbl>"),
+    )
+    return docs.select(
+        did.alias("doc_id"),
+        F.lit("docx").alias("fmt"),
+        F.length(xml).cast("long").alias("size_bytes"),
+        F.array(
+            F.struct(
+                F.lit("docx_xml").alias("kind"),
+                xml.alias("text"),
                 F.lit("").alias("media_ref"),
                 F.lit(0).alias("offset"),
             )

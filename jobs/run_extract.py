@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the extraction pipeline (north_rule:
+"ships as spark-submit --py-files on multi-executor clusters").
+
+Usage:
+
+    python jobs/package.py                       # builds dist/docling_api_spark.zip
+    spark-submit --py-files dist/docling_api_spark.zip \
+        jobs/run_extract.py \
+        --input  /path/to/corpus_parquet \
+        --output /path/to/extracted_table \
+        [--num-buckets 256] [--batch-buckets 32] [--resume]
+
+The input is the canonical corpus table (doc_id, fmt, size_bytes,
+spans); output is the extracted table partitioned by content bucket
+with per-batch commit manifests (lineage + metrics) under
+``<output>/_commits/`` — rerunning with --resume (or just rerunning:
+resume is the default behavior) skips committed buckets.
+
+On a cluster, leave ``--master`` to spark-submit; locally the script
+falls back to local[*]. Shuffle partitions should be set per cluster
+via --conf spark.sql.shuffle.partitions=<2-3× total cores>.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--num-buckets", type=int, default=256)
+    ap.add_argument("--batch-buckets", type=int, default=32)
+    ap.add_argument("--max-size-mb", type=int, default=50)
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("docling_api_spark.extract")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+    from docling_api_spark.checkpoint import commit_history, extract_with_checkpoint
+
+    corpus = spark.read.parquet(args.input)
+    result = extract_with_checkpoint(
+        corpus,
+        args.output,
+        num_buckets=args.num_buckets,
+        batch_buckets=args.batch_buckets,
+    )
+    hist = commit_history(spark, args.output)
+    totals = hist.groupBy().sum("docs", "spans", "chars").first()
+    print(
+        json.dumps(
+            {
+                "processed_batches": result["processed_batches"],
+                "skipped_buckets": len(result["skipped_buckets"]),
+                "docs": totals[0],
+                "spans": totals[1],
+                "chars": totals[2],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
