@@ -99,3 +99,67 @@ def ngram_jaccard_ref(spark, sf_dir):
     """Linear 3-gram Jaccard of every doc vs doc 0 (the similarity
     measure itself, SQL-checkable without pairwise blowup)."""
     return jaccard_to_reference(load(spark, sf_dir, "documents"), ref_id=0)
+
+
+@query(
+    "simhash_dup_pairs",
+    # Hamming-radius near-dup via pigeonhole banding: 32-bit SimHash,
+    # 4 bands of 8 bits — any pair within Hamming distance 3 shares at
+    # least one intact band (pigeonhole), so banded candidates + exact
+    # bit_count verify is lossless for r<=3. Oracle = brute force.
+    oracle=f"""
+        WITH {S.DUP_CORPUS_CTE.strip()},
+        sig AS (SELECT doc_id, {S.simhash32(S.toks("text"))} AS sig FROM dup_corpus)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               bit_count(xor(a.sig, b.sig)) AS ham
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
+)
+def simhash_dup_pairs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from docling_api_spark.functions.hashing import (
+        hamming32,
+        md5_long,
+        simhash_from_hashes,
+        tokens,
+    )
+
+    corpus = dup_corpus(spark, sf_dir)
+    hashed = corpus.select(
+        "doc_id", F.transform(tokens(F.col("text")), md5_long).alias("th")
+    )
+    sig = hashed.select("doc_id", simhash_from_hashes(F.col("th")).alias("sig"))
+    # pigeonhole bands: r=3 < 4 bands → every true pair collides somewhere
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * 8).bitwiseAND(F.lit(0xFF)).alias("bkey"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    l, r = bands.alias("l"), bands.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            hamming32(F.col("l.sig"), F.col("r.sig")).alias("ham"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return cands.filter(F.col("ham") <= 3)

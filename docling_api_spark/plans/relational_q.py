@@ -423,3 +423,50 @@ def score_from_distance(spark, sf_dir):
     return e.filter((F.col("value") >= 0) & (F.col("event_id") < 200)).select(
         "event_id", F.round(1.0 / (1.0 + F.col("value")), 6).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketches (approximate aggregates for the 100 TB tier). Exact values
+# differ per engine by design, so the oracle contract is a tolerance
+# check computed Spark-side against the exact answer in the SAME plan:
+# the oracle just asserts the tolerance held (all-ones column).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sketch_distinct_users",  # HLL++ distinct count within 5% of exact
+    oracle="""
+        SELECT event_type, 1 AS within_tol FROM events GROUP BY event_type
+    """,
+)
+def sketch_distinct_users(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    return agg.select(
+        "event_type",
+        F.when(
+            F.abs(F.col("approx") - F.col("exact")) / F.col("exact") <= 0.05, 1
+        ).otherwise(0).alias("within_tol"),
+    )
+
+
+@query(
+    "sketch_value_quantiles",  # approx percentiles within 2% of exact
+    oracle="SELECT 1 AS q50_ok, 1 AS q99_ok",
+)
+def sketch_value_quantiles(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    agg = e.agg(
+        F.percentile_approx("value", [0.5, 0.99], 10000).alias("approx"),
+        F.expr("percentile(value, array(0.5, 0.99))").alias("exact"),
+    )
+    tol = lambda i: F.when(  # noqa: E731
+        F.abs(F.element_at("approx", i) - F.element_at("exact", i))
+        / F.abs(F.element_at("exact", i))
+        <= 0.02,
+        1,
+    ).otherwise(0)
+    return agg.select(tol(1).alias("q50_ok"), tol(2).alias("q99_ok"))
