@@ -80,3 +80,72 @@ def ann_topk(
         cosine(F.col(vec_col), F.col("qv"), scale).alias("sim"),
     )
     return scored.orderBy(F.desc("sim"), id_col).limit(k)
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF coarse quantizer: MLlib KMeans over the vector column.
+    Returns (model, indexed) where ``indexed`` carries a ``cell``
+    column. At 10^9+ vectors the cell is the physical partition key
+    (write the index table partitioned by cell) so probes scan only
+    nprobe/n_cells of the data. Deterministic given the seed."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_fv = corpus.withColumn("__fv", array_to_vector(F.col(vec_col)))
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="__fv", predictionCol="cell"
+    ).fit(with_fv)
+    return model, model.transform(with_fv).drop("__fv")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: assign corpus to KMeans cells, probe the
+    ``nprobe`` cells nearest the query, exact cosine rescoring inside
+    them. ``query``: one row, column ``qv``.
+
+    Approximate by design (no SQL oracle; recall vs brute force is
+    pytest-checked) — the scale path when SRP-LSH bucket skew matters.
+    """
+    spark = corpus.sparkSession
+    model, indexed = ivf_index(corpus, n_cells=n_cells, vec_col=vec_col)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = spark.createDataFrame(centers, "cell int, centroid array<double>")
+    probe_cells = (
+        query.crossJoin(cent_df)
+        .select(
+            "cell",
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"),
+                    F.col("centroid"),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist2"),
+        )
+        .orderBy("dist2", "cell")
+        .limit(nprobe)
+        .select("cell")
+    )
+    cands = indexed.join(F.broadcast(probe_cells), "cell")
+    scored = cands.crossJoin(F.broadcast(query)).select(
+        F.col(id_col), cosine(F.col(vec_col), F.col("qv"), scale).alias("sim")
+    )
+    return scored.orderBy(F.desc("sim"), id_col).limit(k)

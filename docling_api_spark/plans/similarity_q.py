@@ -93,3 +93,15 @@ def embedding_dup_pairs_q(spark, sf_dir):
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     return embedding_dup_pairs(e.unionByName(planted), dim=DIM, threshold=0.9, n_bits=8)
+
+
+@query("ivf_ann_topk")  # approximate (KMeans internals) → rows-only driver check
+def ivf_ann_topk(spark, sf_dir):
+    """IVF approximate top-k: KMeans(16) coarse cells, probe the 4
+    nearest, exact rescoring inside. Recall vs brute force is asserted
+    in tests/test_search_ops.py."""
+    from docling_api_spark.operators.search import ivf_topk
+
+    return ivf_topk(
+        load(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=5, n_cells=16, nprobe=4
+    )

@@ -116,3 +116,85 @@ def stream_metrics_query(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_path: str,
+    gap_seconds: int = 1800,
+) -> StreamingQuery:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    gap-based per-user sessionization. State per user = (last event
+    epoch, session count, event count); a batch's events fold in in
+    (ts, event_id) order, opening a new session when the gap from the
+    previous event exceeds ``gap_seconds``.
+
+    This is the streaming twin of the batch ``sessionize_events`` plan
+    (lag + conditional cumsum) — with all data in one availableNow
+    batch the two agree exactly (tested). Update-mode memory sink
+    ``stream_sessions`` for inspection.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    events = stream.select(
+        "user_id",
+        F.col("event_id"),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("tsec"),
+    )
+
+    out_type = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_sessions", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_type = StructType(
+        [
+            StructField("last_ts", LongType()),
+            StructField("n_sessions", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+
+    def fold(key, pdf_iter, state: GroupState):
+        last_ts, n_sessions, n_events = (
+            state.get if state.exists else (None, 0, 0)
+        )
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["tsec", "event_id"])
+            for t in pdf["tsec"]:
+                t = int(t)
+                if last_ts is None or t - last_ts > gap_seconds:
+                    n_sessions += 1
+                last_ts = t
+                n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+        )
+
+    sessions = events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_type,
+        stateStructType=state_type,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (
+        sessions.writeStream.format("memory")
+        .queryName("stream_sessions")
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

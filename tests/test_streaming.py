@@ -76,3 +76,22 @@ def test_windowed_metrics_stream_equals_batch(spark, tmp_path):
     w = sorted(map(tuple, want.collect()))
     assert g == w
     assert len(g) > 0
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization ≡ the batch lag+cumsum
+    plan when the whole table arrives as one availableNow backlog."""
+    from docling_api_spark.plans.registry import queries
+    from docling_api_spark.streaming.pipeline import stream_sessionize
+
+    events_path = str(tmp_path / "events")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").write.parquet(events_path)
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_sessionize(spark, events_path, ckpt)
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM stream_sessions").collect()))
+    want = sorted(
+        map(tuple, queries()["sessionize_events"](spark, SF_DIR).collect())
+    )
+    assert got == want
+    assert len(got) > 0
