@@ -1,0 +1,58 @@
+"""Skew-defusing join strategies (SURVEY.md §2.3/§4: the join class
+the 100 TB tier adds beyond the reference's all-equi-join surface).
+
+Two tools, complementary to AQE's runtime skew splitting:
+
+* **Salted join** (`salted_join`) — for a known-skewed key column:
+  replicate the small side S ways (explode a salt array), salt the big
+  side with ``pmod(xxhash64(...), S)``, join on (key, salt). A hot key
+  that would pin one reducer spreads across S tasks. Result is
+  row-identical to the plain join (oracle-checked in plans).
+* **Bucketed co-located join** (`write_bucketed` + a no-Exchange
+  assertion in tests) — pre-shuffle both tables into the same bucket
+  layout at write time; joins on the bucket key then run with NO
+  shuffle at read time (SortMergeJoin without Exchange). At 100 TB
+  this converts every recurring fact⋈fact join from a 2×full-shuffle
+  into a local merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join robust to hot keys in ``big``: small side replicated
+    ``salt_buckets``×, big side salted deterministically; the output
+    drops the salt and equals the unsalted join row-for-row."""
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    salted_big = big.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[c for c in big.columns if c != key]), F.lit(salt_buckets)).cast(
+            "int"
+        ),
+    )
+    return salted_big.join(salted_small, on=[key, "__salt"], how=how).drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, key: str, num_buckets: int = 8
+) -> None:
+    """Persist a table bucketed+sorted by ``key`` so future joins on
+    the key are shuffle-free (co-located)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )

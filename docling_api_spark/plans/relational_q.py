@@ -470,3 +470,28 @@ def sketch_value_quantiles(spark, sf_dir):
         1,
     ).otherwise(0)
     return agg.select(tol(1).alias("q50_ok"), tol(2).alias("q99_ok"))
+
+
+@query(
+    "salted_skew_join",  # §2.3 extension: hot-key-robust join ≡ plain join
+    oracle="""
+        SELECT o.o_orderpriority,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
+)
+def salted_skew_join(spark, sf_dir):
+    """Salted repartition join (skew defusal): the small side is
+    replicated across salt buckets, the big side salted by row hash —
+    a hot l_orderkey spreads over 8 reducers instead of pinning one.
+    Output is row-identical to the plain join (that's the oracle)."""
+    from docling_api_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, o.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), _dsum("l_quantity").alias("qty")
+    )

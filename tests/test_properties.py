@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the pure kernels — no Spark
+session needed, so these run fast and explore the input space the
+fixture corpus can't."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from docling_api_spark.kernels.dispatch import extract_raw_span
+from docling_api_spark.kernels.html import extract_html
+from docling_api_spark.operators.chunk import chunk_fixed, chunk_spans, count_tokens
+
+words = st.lists(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=8),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(words)
+def test_fixed_chunks_partition_tokens(ws):
+    """chunk_fixed is a partition of the token stream: concatenation
+    round-trips, token counts sum, windows are max_tokens except last."""
+    text = " ".join(ws)
+    chunks = chunk_fixed(text, 7)
+    rejoined = [t for c in chunks for t in c["content"].split()]
+    assert rejoined == [t for t in ws if t]
+    assert sum(c["token_count"] for c in chunks) == len([t for t in ws if t])
+    for c in chunks[:-1]:
+        assert c["token_count"] == 7
+
+
+@settings(max_examples=50, deadline=None)
+@given(words)
+def test_hybrid_chunks_preserve_all_tokens(ws):
+    """No token of a text span is lost or duplicated by the hybrid
+    chunker, at any budget."""
+    text = " ".join(ws)
+    spans = [{"kind": "text", "text": text, "media_ref": "", "page": 0}]
+    for budget in (3, 10, 512):
+        chunks = chunk_spans(spans, max_tokens=budget)
+        got = " ".join(c["content"] for c in chunks)
+        # tokenization-level equality (the chunker may rejoin
+        # hard-split sentences with single spaces)
+        assert re.findall(r"\S+", got) == re.findall(r"\S+", text)
+        assert all(
+            c["token_count"] <= budget or count_tokens(c["content"]) <= budget
+            for c in chunks
+        )
+        assert [c["chunk_index"] for c in chunks] == list(range(len(chunks)))
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz <>/&#;\"'=.-", max_size=300))
+def test_html_kernel_total_and_deterministic(markup):
+    """The HTML kernel never raises on arbitrary tag soup and is
+    deterministic."""
+    a = extract_html(markup)
+    b = extract_html(markup)
+    assert a == b
+    for s in a:
+        assert set(s) == {"kind", "text", "media_ref"}
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(max_size=200))
+def test_unknown_kind_is_whitespace_normalized_passthrough(text):
+    spans = extract_raw_span("mystery_format", text)
+    if " ".join(text.split()):
+        assert spans == [
+            {"kind": "text", "text": " ".join(text.split()), "media_ref": ""}
+        ]
+    else:
+        assert spans == []
+
+
+@settings(max_examples=40, deadline=None)
+@given(words.filter(lambda ws: len(ws) >= 3))
+def test_pdf_blocks_vertical_stack_reads_top_down(ws):
+    """Vertically stacked non-overlapping para blocks always read in
+    y order regardless of insertion order."""
+    from docling_api_spark.kernels.pdf import extract_pdf_page
+
+    lines = []
+    expected = []
+    for i, w in enumerate(ws[:10]):
+        y0 = i * 20
+        lines.append(f"BLOCK 0,{y0},100,{y0 + 10},para|{w} {i}")
+        expected.append(f"{w} {i}")
+    # shuffle deterministically by reversing
+    page = "\n".join(reversed(lines))
+    spans = extract_pdf_page(page)
+    assert [s["text"] for s in spans] == expected
