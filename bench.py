@@ -56,6 +56,13 @@ HEADLINE = [
     "token_count_bpe",
     "textstats_quality",
     "langid_heuristic",
+    "search_pipeline",
+    "sessionize_events",
+    "salted_skew_join",
+    "simhash_dup_pairs",
+    "sketch_distinct_users",
+    "media_decode_dims",
+    "ivf_ann_topk",
 ]
 
 

@@ -1,0 +1,35 @@
+"""Multimodal queries: binary payload → decode roundtrip.
+
+The synthetic media payloads embed their dimensions via the same
+md5-prefix-32 family the oracle can compute, so the full loop —
+binary column synthesis (mapInPandas) → header decode (mapInPandas)
+— is value-exactly checkable even though the pixels are fake.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docling_api_spark.operators.multimodal import media_features, synthesize_media_table
+from docling_api_spark.plans import _sql as S
+from docling_api_spark.plans.registry import query
+from docling_api_spark.sources.catalog import load
+
+
+@query(
+    "media_decode_dims",
+    oracle=f"""
+        SELECT doc_id || '/m0' AS media_ref,
+               64 + ({S.md5long("doc_id || '/m0'")} % 64) AS width,
+               48 + ({S.md5long("'h' || doc_id || '/m0'")} % 48) AS height,
+               TRUE AS ok
+        FROM documents
+    """,
+)
+def media_decode_dims(spark, sf_dir):
+    """Binary media columns round-trip: synthesize payload bytes per
+    doc, decode headers back in a second Arrow-batched stage; decoded
+    dims must equal the md5-derived generation rule."""
+    docs = load(spark, sf_dir, "documents")
+    media = synthesize_media_table(docs, per_doc=1)
+    return media_features(media, dim=8).select("media_ref", "width", "height", "ok")

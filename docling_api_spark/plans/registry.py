@@ -53,6 +53,7 @@ def _load_all() -> None:
     from docling_api_spark.plans import (  # noqa: F401
         chunk_q,
         dedup_q,
+        multimodal_q,
         search_q,
         similarity_q,
         textstats_q,
