@@ -99,6 +99,7 @@ def extract_with_checkpoint(
     ``fail_after_batches`` injects a crash for resume tests.
     """
     spark = corpus.sparkSession
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     log = CommitLog(table_path)
     done = log.completed_buckets()
@@ -106,38 +107,41 @@ def extract_with_checkpoint(
 
     processed = 0
     seq = len(log.commits())
-    for i in range(0, len(pending), batch_buckets):
-        group = pending[i : i + batch_buckets]
-        batch = corpus.filter(bucket_of(F.col("doc_id"), num_buckets).isin(group))
-        extracted = extract(batch).withColumn(
-            "bucket", bucket_of(F.col("doc_id"), num_buckets)
-        )
-        extracted.persist()
-        try:
-            extracted.write.mode("overwrite").partitionBy("bucket").parquet(table_path)
-            m = extracted.agg(
-                F.count("*").alias("docs"),
-                F.sum(F.size("spans")).alias("spans"),
-                F.sum(
-                    F.aggregate(
-                        F.transform("spans", lambda s: F.length(s["text"])),
-                        F.lit(0).cast("long"),
-                        lambda a, x: a + x,
-                    )
-                ).alias("chars"),
-            ).first()
-            metrics = {
-                "docs": int(m["docs"] or 0),
-                "spans": int(m["spans"] or 0),
-                "chars": int(m["chars"] or 0),
-            }
-        finally:
-            extracted.unpersist()
-        log.commit(seq, group, metrics)
-        seq += 1
-        processed += 1
-        if fail_after_batches is not None and processed >= fail_after_batches:
-            raise RuntimeError(f"injected failure after {processed} batches")
+    try:
+        for i in range(0, len(pending), batch_buckets):
+            group = pending[i : i + batch_buckets]
+            batch = corpus.filter(bucket_of(F.col("doc_id"), num_buckets).isin(group))
+            extracted = extract(batch).withColumn(
+                "bucket", bucket_of(F.col("doc_id"), num_buckets)
+            )
+            extracted.persist()
+            try:
+                extracted.write.mode("overwrite").partitionBy("bucket").parquet(table_path)
+                m = extracted.agg(
+                    F.count("*").alias("docs"),
+                    F.sum(F.size("spans")).alias("spans"),
+                    F.sum(
+                        F.aggregate(
+                            F.transform("spans", lambda s: F.length(s["text"])),
+                            F.lit(0).cast("long"),
+                            lambda a, x: a + x,
+                        )
+                    ).alias("chars"),
+                ).first()
+                metrics = {
+                    "docs": int(m["docs"] or 0),
+                    "spans": int(m["spans"] or 0),
+                    "chars": int(m["chars"] or 0),
+                }
+            finally:
+                extracted.unpersist()
+            log.commit(seq, group, metrics)
+            seq += 1
+            processed += 1
+            if fail_after_batches is not None and processed >= fail_after_batches:
+                raise RuntimeError(f"injected failure after {processed} batches")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     return {
         "processed_batches": processed,
         "skipped_buckets": sorted(done),

@@ -198,3 +198,43 @@ def stream_sessionize(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ingest(
+    spark: SparkSession,
+    corpus_path: str,
+    chunks_path: str,
+    checkpoint_path: str,
+    max_tokens: int = 512,
+) -> StreamingQuery:
+    """Incremental ingest (the reference's background embed worker,
+    core/jobs.py:17-44, restated as a stream): new corpus files →
+    extract → chunk → embed → chunks-with-embeddings parquet.
+
+    The per-doc reassembly is an aggregation, which append-mode
+    streaming only allows under a watermark — and doc reassembly has
+    no event time. The idiomatic mapping is ``foreachBatch``: each
+    micro-batch (a set of whole corpus files — docs never split across
+    files) runs the standard *batch* lineage and appends its output.
+    The streaming checkpoint still provides no-reprocessing resume;
+    with ``availableNow`` this is the reference's "drain the queue"
+    worker loop.
+    """
+    from docling_api_spark.operators.chunk import chunk_extracted
+    from docling_api_spark.operators.embed import embed_chunks
+    from docling_api_spark.operators.extract import extract
+
+    corpus = read_corpus_stream(spark, corpus_path)
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        extracted = extract(batch_df, salt_partitions=0)
+        chunks = chunk_extracted(extracted, max_tokens=max_tokens)
+        embedded = embed_chunks(chunks, text_col="context")
+        embedded.write.mode("append").parquet(chunks_path)
+
+    return (
+        corpus.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -95,3 +95,41 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     )
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_ingest_end_to_end(spark, tmp_path):
+    """Corpus stream → extract → chunk → embed, equal to the batch
+    lineage over the same files."""
+    from docling_api_spark.operators.chunk import chunk_extracted
+    from docling_api_spark.operators.embed import embed_chunks
+    from docling_api_spark.operators.extract import extract
+    from docling_api_spark.streaming.pipeline import stream_ingest
+
+    corpus_path = str(tmp_path / "corpus")
+    wrap_documents_as_corpus(load(spark, SF_DIR, "documents").limit(40)).write.parquet(
+        corpus_path
+    )
+    out = str(tmp_path / "chunks")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_ingest(spark, corpus_path, out, ckpt, max_tokens=32)
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    want = embed_chunks(
+        chunk_extracted(
+            extract(spark.read.parquet(corpus_path), salt_partitions=0), max_tokens=32
+        ),
+        text_col="context",
+    )
+    key = lambda r: (r["doc_id"], r["chunk_index"])  # noqa: E731
+    g = sorted(got.collect(), key=key)
+    w = sorted(want.collect(), key=key)
+    assert len(g) == len(w) > 40  # multiple chunks per doc
+    for a, b in zip(g, w):
+        assert (a.doc_id, a.chunk_index, a.content, a.token_count) == (
+            b.doc_id,
+            b.chunk_index,
+            b.content,
+            b.token_count,
+        )
+        assert list(a.embedding) == list(b.embedding)
