@@ -268,11 +268,76 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
     }
 
 
+def run_targets(cpus: str) -> dict:
+    """Measure against the reference's OWN stated targets
+    (/root/reference/PLAN.md:395-398 — its only published numbers):
+    search latency @ 10k chunks (it: sqlite-vec, <500 ms) and embedding
+    throughput (it: MiniLM CPU, >100 chunks/s; ours is the hermetic
+    hash provider — provider-dependent, the harness adds no bottleneck).
+    """
+    from pyspark.sql import functions as F
+
+    from docling_api_spark.operators.embed import embedding_udf
+    from docling_api_spark.operators.search import knn_topk
+    from docling_api_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", app_name=f"targets-{cpus}")
+    _warm(spark)
+    n, dim = 10_000, 384
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: ((F.xxhash64(F.col("id"), j) % 2001) / 1000.0).cast("float"),
+        ).alias("embedding"),
+    ).persist()
+    vecs.count()
+    q = vecs.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    knn_topk(vecs, q, k=5).collect()  # warm
+    lat = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        knn_topk(vecs, q, k=5).collect()
+        lat.append((time.perf_counter() - t0) * 1000)
+    lat.sort()
+
+    texts = spark.range(20_000).select(
+        F.concat(
+            F.lit("chunk text number "),
+            F.col("id").cast("string"),
+            F.lit(" with several words of content to embed"),
+        ).alias("context")
+    )
+    emb = texts.select(embedding_udf()(F.col("context")).alias("e"))
+    emb.write.format("noop").mode("overwrite").save()  # warm
+    t0 = time.perf_counter()
+    emb.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    return {
+        "search_latency_ms_at_10k_chunks": {
+            "median": round(lat[2], 1),
+            "min": round(lat[0], 1),
+            "reference_target": "< 500 ms (PLAN.md:395)",
+        },
+        "embed_chunks_per_sec": {
+            "value": round(20_000 / dt, 0),
+            "reference_target": "> 100 chunks/s (PLAN.md:397)",
+        },
+        "cpus": cpus,
+    }
+
+
 def main() -> None:
     argv = sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", SF_DIR_DEFAULT)
     if argv and argv[0] == "--scaling-child":
         print(json.dumps(_scaling_child(argv[2], argv[1], int(argv[3]))))
+        return
+    if argv and argv[0] == "--targets":
+        rep = run_targets(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        with open(os.path.join(os.path.dirname(__file__), "BENCH_TARGETS.json"), "w") as f:
+            json.dump(rep, f, indent=2)
+        print(json.dumps(rep))
         return
     if argv and argv[0] == "--scaling":
         rep = run_scaling(sf_dir)
