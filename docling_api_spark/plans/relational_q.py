@@ -495,3 +495,81 @@ def salted_skew_join(spark, sf_dir):
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"), _dsum("l_quantity").alias("qty")
     )
+
+
+@query(
+    "min_cost_supplier",  # TPC-H Q2-style correlated-min decorrelated via window
+    oracle="""
+        WITH priced AS (
+            SELECT l_partkey, l_suppkey,
+                   ROUND(CAST(l_extendedprice / l_quantity AS DOUBLE), 4) AS unit_price
+            FROM lineitem WHERE l_quantity > 0
+        ),
+        ranked AS (
+            SELECT l_partkey, l_suppkey, unit_price,
+                   ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                      ORDER BY unit_price, l_suppkey) AS rn
+            FROM priced
+        )
+        SELECT r.l_partkey AS partkey, p.p_brand, s.s_name, r.unit_price
+        FROM ranked r
+        JOIN part p ON p.p_partkey = r.l_partkey
+        JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE r.rn = 1 AND r.l_partkey <= 500
+    """,
+)
+def min_cost_supplier(spark, sf_dir):
+    """Per-part cheapest supplier: the reference-free relational
+    pattern TPC-H Q2 exercises (correlated MIN subquery), decorrelated
+    the Catalyst-friendly way — one window rank over the fact, then
+    broadcast dim joins. No repeated subquery scans."""
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    priced = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.round((F.col("l_extendedprice") / F.col("l_quantity")).cast("double"), 4).alias(
+            "unit_price"
+        ),
+    )
+    w = W.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    best = priced.withColumn("rn", F.row_number().over(w)).filter(
+        (F.col("rn") == 1) & (F.col("l_partkey") <= 500)
+    )
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("partkey"), "p_brand", "s_name", "unit_price"
+        )
+    )
+
+
+@query(
+    "rollup_status_priority",  # hierarchical totals (engine extension:
+    # the reference computes its stats flat, A1; a 100 TB metrics layer
+    # wants subtotal/grand-total in one pass)
+    oracle="""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_status_priority(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), _dsum("o_totalprice").alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
