@@ -162,6 +162,22 @@ def extract_html(markup: str, media_prefix: str = "") -> list[dict]:
                 return  # boilerplate: link-dominated block
         spans.append({"kind": blk.kind, "text": text, "media_ref": ""})
 
+    def flush_open_block_text() -> None:
+        """Emit the innermost open block's accumulated text as a span
+        (same filters as close_block) and reset its accumulation —
+        used when a nested block/table opens so document order holds."""
+        blk = block_stack[-1]
+        text = _norm("".join(blk.parts))
+        ok = len(text) >= MIN_TEXT_CHARS
+        if ok and blk.kind in ("text", "list_item") and blk.total_chars > 0:
+            if blk.anchor_chars / blk.total_chars > LINK_RATIO_MAX:
+                ok = False
+        if ok:
+            spans.append({"kind": blk.kind, "text": text, "media_ref": ""})
+        blk.parts = []
+        blk.anchor_chars = 0
+        blk.total_chars = 0
+
     def flush_table() -> None:
         nonlocal table_rows, table_caption
         if table_rows:
@@ -223,6 +239,10 @@ def extract_html(markup: str, media_prefix: str = "") -> list[dict]:
             if tag in _FLUSH_TAGS and not block_stack and table_depth == 0:
                 flush_pending()
             if tag == "table":
+                # text accumulated so far in an open block reads BEFORE
+                # the table — flush it as its own span (document order)
+                if table_depth == 0 and block_stack:
+                    flush_open_block_text()
                 table_depth += 1
                 if table_depth == 1:
                     table_rows = []
@@ -242,8 +262,23 @@ def extract_html(markup: str, media_prefix: str = "") -> list[dict]:
             if tag == "a":
                 anchor_depth += 1
                 continue
+            if tag == "br":
+                # line break separates words; contributes a space
+                if table_depth > 0:
+                    if in_cell:
+                        cell_parts.append(" ")
+                elif block_stack:
+                    block_stack[-1].parts.append(" ")
+                else:
+                    pending.append(" ")
+                continue
             kind = _BLOCK_KIND.get(tag)
             if kind is not None:
+                # reading order: text already accumulated in the
+                # enclosing block precedes the nested block (also
+                # handles HTML's <p>-auto-close: "<p>a<p>b" reads a, b)
+                if block_stack:
+                    flush_open_block_text()
                 block_stack.append(_Block(kind))
             continue
 
