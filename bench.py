@@ -63,6 +63,9 @@ HEADLINE = [
     "sketch_distinct_users",
     "media_decode_dims",
     "ivf_ann_topk",
+    "min_cost_supplier",
+    "rollup_status_priority",
+    "ingest_end_to_end",
 ]
 
 

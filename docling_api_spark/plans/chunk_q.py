@@ -122,3 +122,54 @@ def chunk_embed_pipeline(spark, sf_dir):
         lambda a, x: a + x,
     )
     return counts.select("doc_id", "chunk_index", "token_count", checksum.alias("checksum"))
+
+
+@query(
+    "ingest_end_to_end",
+    # §3.2 full ingest lineage THROUGH extraction: wrap → mapInPandas
+    # extract → chunk (fixed window) → embed counts → per-chunk
+    # checksum. The boilerplate-strip roundtrip is the identity, so
+    # the oracle is the same construction straight off documents.text —
+    # any error in ANY stage (kernel, reassembly, chunker, embedder)
+    # breaks the value hash.
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+        c AS (SELECT doc_id,
+                     unnest([{{'chunk_index': i,
+                               'ctoks': tok[i*{MAXTOK}+1:(i+1)*{MAXTOK}]}}
+                             for i in range(0, CAST(ceil(len(tok)/{MAXTOK}.0) AS INT))],
+                            recursive := true) AS u
+              FROM t)
+        SELECT doc_id, chunk_index,
+               len(ctoks) AS token_count,
+               list_sum(list_prepend(CAST(0 AS BIGINT),
+                   [CAST((CASE WHEN ({S.md5long("tk")} >> 31) & 1 = 1 THEN 1 ELSE -1 END) *
+                         ({S.md5long("tk")} % {EMBEDDING_DIM} + 1) AS BIGINT)
+                    for tk in ctoks])) AS checksum
+        FROM c
+    """,
+)
+def ingest_end_to_end(spark, sf_dir):
+    from docling_api_spark.operators.chunk import chunk_extracted
+    from docling_api_spark.operators.extract import extract
+    from docling_api_spark.sources.catalog import wrap_documents_as_corpus
+
+    corpus = wrap_documents_as_corpus(load(spark, sf_dir, "documents"))
+    extracted = extract(corpus)
+    chunks = chunk_extracted(extracted, max_tokens=MAXTOK, policy="fixed")
+    counts = chunks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "chunk_index",
+        "token_count",
+        hash_counts_udf(EMBEDDING_DIM)(F.col("content")).alias("c"),
+    )
+    checksum = F.aggregate(
+        F.zip_with(
+            F.col("c"),
+            F.sequence(F.lit(1), F.lit(EMBEDDING_DIM)),
+            lambda cnt, idx: cnt * idx.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return counts.select("doc_id", "chunk_index", "token_count", checksum.alias("checksum"))
