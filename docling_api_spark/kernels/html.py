@@ -206,13 +206,19 @@ def extract_html(markup: str, media_prefix: str = "") -> list[dict]:
                 pending_total += n
                 if anchor_depth > 0:
                     pending_anchor += n
-        if m.group(2) is None:
+        closing, tag, attr_src, self_close = m.group(1, 2, 3, 4)
+        if tag is None:
             continue  # comment
-        closing, tag, attr_src, self_close = m.group(1), m.group(2).lower(), m.group(3), m.group(4)
+        tag = tag.lower()
         is_void = tag in _VOID_TAGS
 
         if not closing:
-            attrs = _attrs(attr_src) if attr_src else {}
+            # attrs parse only when needed: img uses them; otherwise only
+            # a class/id prune check, skipped unless the raw source hints
+            needs_attrs = attr_src and (
+                tag == "img" or "class" in attr_src or "id" in attr_src
+            )
+            attrs = _attrs(attr_src) if needs_attrs else {}
             classid = (attrs.get("class", "") + " " + attrs.get("id", "")).strip()
             prunable = tag in _PRUNE_TAGS or (classid and _PRUNE_CLASS_RE.search(classid))
             if prune_depth > 0:
