@@ -97,8 +97,11 @@ def ivf_index(
     from pyspark.ml.functions import array_to_vector
 
     with_fv = corpus.withColumn("__fv", array_to_vector(F.col(vec_col)))
+    # coarse quantization converges in a few sweeps; 20-iter default
+    # just burns driver jobs (cells only steer the probe, exact
+    # rescoring fixes residual assignment noise)
     model = KMeans(
-        k=n_cells, seed=seed, featuresCol="__fv", predictionCol="cell"
+        k=n_cells, seed=seed, maxIter=6, featuresCol="__fv", predictionCol="cell"
     ).fit(with_fv)
     return model, model.transform(with_fv).drop("__fv")
 

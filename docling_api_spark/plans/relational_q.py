@@ -573,3 +573,28 @@ def rollup_status_priority(spark, sf_dir):
             "total",
         )
     )
+
+
+@query(
+    "windowed_event_counts",  # event-time tumbling windows, batch form
+    # (streaming twin with watermark: streaming/pipeline.py
+    # stream_windowed_metrics, tested in tests/test_streaming.py)
+    oracle="""
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS value_sum
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def windowed_event_counts(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), _dsum("value").alias("value_sum"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "value_sum"
+        )
+    )
