@@ -1,0 +1,46 @@
+"""Input-hint contract guard (BASELINE.json: "vectorized pandas/Arrow
+UDFs (no per-row Python) throughout"): statically scan the engine
+package for row-at-a-time Spark UDFs and driver-side collection on the
+data path. Allowed Python surfaces are ``mapInPandas`` / ``pandas_udf``
+/ ``applyInPandasWithState`` (Arrow-batched) only."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+PKG = Path(__file__).parent.parent / "docling_api_spark"
+
+FORBIDDEN = [
+    (re.compile(r"\bF\.udf\s*\("), "row-at-a-time F.udf"),
+    (re.compile(r"@udf\b"), "row-at-a-time @udf decorator"),
+    (re.compile(r"\bUserDefinedFunction\b"), "raw UserDefinedFunction"),
+    (re.compile(r"\.collect\s*\(\)"), "driver-side collect"),
+    (re.compile(r"\.toPandas\s*\(\)"), "driver-side toPandas"),
+    (re.compile(r"\.toLocalIterator\s*\(\)"), "driver-side iteration"),
+    (re.compile(r"\.rdd\b"), "RDD drop-down"),
+]
+
+ALLOWED = re.compile(r"mapInPandas|pandas_udf|applyInPandasWithState|applyInPandas")
+
+
+def test_no_per_row_python_or_driver_collection():
+    violations = []
+    for path in sorted(PKG.rglob("*.py")):
+        text = path.read_text()
+        for lineno, line in enumerate(text.splitlines(), 1):
+            stripped = line.split("#", 1)[0]
+            for pat, why in FORBIDDEN:
+                if pat.search(stripped):
+                    violations.append(f"{path.relative_to(PKG.parent)}:{lineno}: {why}: {line.strip()}")
+    assert not violations, "\n".join(violations)
+
+
+def test_arrow_surfaces_present():
+    """Sanity: the vectorized surfaces ARE used (the guard above isn't
+    passing vacuously)."""
+    hits = 0
+    for path in PKG.rglob("*.py"):
+        if ALLOWED.search(path.read_text()):
+            hits += 1
+    assert hits >= 4
