@@ -33,6 +33,14 @@ def md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
 
 
+def md5_long60(col: Column) -> Column:
+    """First 60 bits of md5(col) as a non-negative BIGINT (15 hex
+    chars — the widest prefix that stays inside signed 64-bit on both
+    engines). DuckDB twin: ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``.
+    """
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
 def seeded_hash(col: Column, seed: int) -> Column:
     """Hash-family member i: md5_long(x || '#' || seed)."""
     return md5_long(F.concat(col.cast("string"), F.lit(f"#{seed}")))
@@ -122,23 +130,26 @@ def band_hash(sig: Column, band: int, rows_per_band: int) -> Column:
     return md5_long(F.concat_ws(",", F.transform(piece, lambda x: x.cast("string"))))
 
 
-def simhash_from_hashes(hashes: Column) -> Column:
-    """32-bit SimHash from a precomputed token-hash array (project the
-    md5 array once; the 32 per-bit vote aggregates are cheap affine
-    passes). Bit b is 1 iff Σ_tokens (±1 on bit b of the hash) > 0."""
+def simhash_from_hashes(hashes: Column, bits: int = 32) -> Column:
+    """SimHash from a precomputed token-hash array (project the md5
+    array once; the per-bit vote aggregates are cheap affine passes).
+    Bit b is 1 iff Σ_tokens (±1 on bit b of the hash) > 0.
+
+    ``bits`` sizes the signature (32 from md5_long hashes, 60 from
+    md5_long60) — wider signatures give exponentially more LSH band
+    buckets, which is what keeps Hamming-banded dedup from drowning
+    in random collisions as the corpus grows."""
 
     def _voter(b: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    bits = []
-    for b in range(32):
+    out = None
+    for b in range(bits):
         vote = F.aggregate(hashes, F.lit(0).cast("long"), _voter(b))
-        bits.append(F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for c in bits[1:]:
-        out = out + c
+        c = F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        out = c if out is None else out + c
     return out
 
 

@@ -48,11 +48,23 @@ def band_key(sig: str, band: int, rows_per_band: int) -> str:
     return md5long(f"list_aggregate({piece}, 'string_agg', ',')")
 
 
+def md5long60(x: str) -> str:
+    return f"CAST('0x'||substr(md5({x}),1,15) AS BIGINT)"
+
+
 def simhash32(t: str) -> str:
     return (
         f"list_sum([CASE WHEN list_sum([CASE WHEN ({md5long('tk')} >> b) & 1 = 1 "
         f"THEN 1 ELSE -1 END for tk in {t}]) > 0 THEN 1<<b ELSE 0 END "
         f"for b in range(0,32)])"
+    )
+
+
+def simhash60(t: str) -> str:
+    return (
+        f"list_sum([CASE WHEN list_sum([CASE WHEN ({md5long60('tk')} >> b) & 1 = 1 "
+        f"THEN 1 ELSE -1 END for tk in {t}]) > 0 THEN (1::BIGINT)<<b ELSE 0 END "
+        f"for b in range(0,60)])"
     )
 
 

@@ -103,13 +103,16 @@ def ngram_jaccard_ref(spark, sf_dir):
 
 @query(
     "simhash_dup_pairs",
-    # Hamming-radius near-dup via pigeonhole banding: 32-bit SimHash,
-    # 4 bands of 8 bits — any pair within Hamming distance 3 shares at
+    # Hamming-radius near-dup via pigeonhole banding: 60-bit SimHash,
+    # 4 bands of 15 bits — any pair within Hamming distance 3 shares at
     # least one intact band (pigeonhole), so banded candidates + exact
-    # bit_count verify is lossless for r<=3. Oracle = brute force.
+    # bit_count verify is lossless for r<=3. 15-bit bands give 32k
+    # buckets, so random-collision candidate pairs shrink ~128× vs
+    # 8-bit bands (the width is what scales: at 10^12 docs you'd run
+    # 128-bit signatures with 32-bit bands). Oracle = brute force.
     oracle=f"""
         WITH {S.DUP_CORPUS_CTE.strip()},
-        sig AS (SELECT doc_id, {S.simhash32(S.toks("text"))} AS sig FROM dup_corpus)
+        sig AS (SELECT doc_id, {S.simhash60(S.toks("text"))} AS sig FROM dup_corpus)
         SELECT a.doc_id AS a, b.doc_id AS b,
                bit_count(xor(a.sig, b.sig)) AS ham
         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -121,16 +124,16 @@ def simhash_dup_pairs(spark, sf_dir):
 
     from docling_api_spark.functions.hashing import (
         hamming32,
-        md5_long,
+        md5_long60,
         simhash_from_hashes,
         tokens,
     )
 
     corpus = dup_corpus(spark, sf_dir)
     hashed = corpus.select(
-        "doc_id", F.transform(tokens(F.col("text")), md5_long).alias("th")
+        "doc_id", F.transform(tokens(F.col("text")), md5_long60).alias("th")
     )
-    sig = hashed.select("doc_id", simhash_from_hashes(F.col("th")).alias("sig"))
+    sig = hashed.select("doc_id", simhash_from_hashes(F.col("th"), bits=60).alias("sig"))
     # pigeonhole bands: r=3 < 4 bands → every true pair collides somewhere
     bands = sig.select(
         "doc_id",
@@ -140,7 +143,7 @@ def simhash_dup_pairs(spark, sf_dir):
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("sig", b * 8).bitwiseAND(F.lit(0xFF)).alias("bkey"),
+                        F.shiftright("sig", b * 15).bitwiseAND(F.lit(0x7FFF)).alias("bkey"),
                     )
                     for b in range(4)
                 ]

@@ -580,7 +580,8 @@ def rollup_status_priority(spark, sf_dir):
     # (streaming twin with watermark: streaming/pipeline.py
     # stream_windowed_metrics, tested in tests/test_streaming.py)
     oracle="""
-        SELECT date_trunc('hour', ts) AS window_start, event_type,
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
                COUNT(*) AS n,
                CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS value_sum
         FROM events
@@ -595,6 +596,9 @@ def windowed_event_counts(spark, sf_dir):
         )
         .agg(F.count("*").alias("n"), _dsum("value").alias("value_sum"))
         .select(
-            F.col("w.start").alias("window_start"), "event_type", "n", "value_sum"
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "value_sum",
         )
     )
