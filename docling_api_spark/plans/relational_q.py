@@ -590,9 +590,12 @@ def rollup_status_priority(spark, sf_dir):
 )
 def windowed_event_counts(spark, sf_dir):
     e = load(spark, sf_dir, "events")
+    # window() on the NTZ column directly: wall-clock truncation,
+    # independent of the (driver-controlled) session timezone — an
+    # NTZ→TZ cast here shifts hour boundaries in half-hour-offset zones
     return (
         e.groupBy(
-            F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"), "event_type"
+            F.window(F.col("ts"), "1 hour").alias("w"), "event_type"
         )
         .agg(F.count("*").alias("n"), _dsum("value").alias("value_sum"))
         .select(

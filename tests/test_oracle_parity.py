@@ -69,3 +69,31 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.limit(5).collect()
     assert len(rows) > 0 and "content" in df.columns
+
+
+TZ_SENSITIVE = [
+    "tpch_q1_style",
+    "pagination",
+    "windowed_event_counts",
+    "sessionize_events",
+    "history_stats",
+]
+
+
+@pytest.mark.parametrize("name", TZ_SENSITIVE)
+def test_parity_survives_foreign_session_timezone(spark, name):
+    """The driver runs queries in ITS session, whose timezone we don't
+    control — timestamp-touching plans must not depend on it. A
+    half-hour-offset zone catches NTZ→TZ cast bugs that whole-hour
+    zones mask."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+        got = _QUERIES[name](spark, SF_DIR).toPandas()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    want = _duck(_ORACLES[name])
+    gc, gr = _canon(got)
+    wc, wr = _canon(want)
+    assert gc == wc and len(gr) == len(wr)
+    assert not [(a, b) for a, b in zip(gr, wr) if a != b]
