@@ -182,3 +182,87 @@ def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
         F.ceil(F.col("width") * scale).cast("int").alias("target_w"),
         F.ceil(F.col("height") * scale).cast("int").alias("target_h"),
     )
+
+
+FRAME_DDL = (
+    "media_ref string, frame_index int, frame_time_s double, payload binary, ok boolean"
+)
+
+
+def frame_sample_plan(
+    media: DataFrame,
+    duration_col: str = "duration_s",
+    fps_col: str = "fps",
+    every_s: float = 1.0,
+    max_frames: int = 32,
+) -> DataFrame:
+    """Frame-sampling *plan* (JVM-side, metadata only): which frame
+    indices to decode for each video, one row per target frame —
+    uniform every ``every_s`` seconds capped at ``max_frames``. Like
+    resize_plan, the expensive decode stage is pruned by pure column
+    arithmetic before any payload ships to Python."""
+    n_frames = F.least(
+        F.floor(F.col(duration_col) / F.lit(every_s)).cast("int") + 1,
+        F.lit(max_frames),
+    )
+    exploded = media.select(
+        "media_ref",
+        F.col(fps_col).alias("fps"),
+        (F.col(duration_col) / n_frames.cast("double")).alias("step"),
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_index"),
+    )
+    return exploded.select(
+        "media_ref",
+        "frame_index",
+        F.round(F.col("frame_index") * F.col("step"), 3).alias("frame_time_s"),
+        (F.col("frame_index") * F.col("step") * F.col("fps")).cast("int").alias(
+            "source_frame"
+        ),
+    )
+
+
+def sample_frames(media: DataFrame, every_s: float = 1.0, codec: str = "stub") -> DataFrame:
+    """Decode-and-sample frames (Arrow-batched). The stub emits
+    deterministic fake frame payloads derived from (media_ref, index);
+    a real implementation replaces ``_fake_frame`` with an ffmpeg/
+    PyAV seek+decode — the schema, batch shape, and per-row error
+    handling (``ok``) are the stable contract."""
+    if codec != "stub":
+        raise NotImplementedError(
+            f"codec {codec!r}: real video decoders (ffmpeg/PyAV) are not "
+            "available in this environment; integrate in sample_frames"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload, dur in zip(
+                pdf["media_ref"], pdf["payload"], pdf["duration_s"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                ok = b.startswith(_FAKE_MAGIC)
+                n = max(min(int(dur // every_s) + 1, 32), 1) if ok else 0
+                for i in range(n):
+                    rows.append(
+                        (
+                            ref,
+                            i,
+                            round(i * (dur / n), 3),
+                            _fake_frame(ref, i),
+                            True,
+                        )
+                    )
+                if not ok:
+                    rows.append((ref, -1, 0.0, b"", False))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_ref", "frame_index", "frame_time_s", "payload", "ok"],
+            )
+
+    return media.select("media_ref", "payload", "duration_s").mapInPandas(
+        run, schema=FRAME_DDL
+    )
+
+
+def _fake_frame(ref: str, index: int) -> bytes:
+    return _FAKE_MAGIC + f"frame:{ref}:{index}".encode()

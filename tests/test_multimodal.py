@@ -75,3 +75,56 @@ def test_resize_plan_jvm_side(spark):
             assert max(r.target_w, r.target_h) == 64
     # the plan must not touch the payload column (metadata-only stage)
     assert "payload" not in plan.columns
+
+
+def test_frame_sample_plan_is_metadata_only(spark):
+    import pyspark.sql.functions as F
+
+    media = spark.createDataFrame(
+        [("v1", 10.0, 30.0), ("v2", 0.5, 24.0), ("v3", 100.0, 25.0)],
+        "media_ref string, duration_s double, fps double",
+    )
+    from docling_api_spark.operators.multimodal import frame_sample_plan
+
+    plan = frame_sample_plan(media, every_s=1.0, max_frames=32)
+    rows = plan.collect()
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r.media_ref, []).append(r)
+    assert len(by_ref["v1"]) == 11       # 0..10s inclusive
+    assert len(by_ref["v2"]) == 1        # shorter than step → 1 frame
+    assert len(by_ref["v3"]) == 32       # capped
+    for r in by_ref["v1"]:
+        assert 0 <= r.source_frame <= 10 * 30
+    assert "payload" not in plan.columns
+
+
+def test_sample_frames_stub(spark):
+    from docling_api_spark.operators.multimodal import (
+        fake_image_bytes,
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [
+            ("v1", fake_image_bytes(8, 8, "v1"), 3.0),
+            ("bad", b"not media", 5.0),
+        ],
+        "media_ref string, payload binary, duration_s double",
+    )
+    frames = sample_frames(media, every_s=1.0).collect()
+    good = [f for f in frames if f.media_ref == "v1"]
+    bad = [f for f in frames if f.media_ref == "bad"]
+    assert len(good) == 4 and all(f.ok for f in good)
+    assert [f.frame_index for f in sorted(good, key=lambda f: f.frame_index)] == [0, 1, 2, 3]
+    assert len(bad) == 1 and not bad[0].ok
+
+
+def test_real_video_codec_gated(spark):
+    from docling_api_spark.operators.multimodal import sample_frames
+
+    media = spark.createDataFrame(
+        [("v", b"", 1.0)], "media_ref string, payload binary, duration_s double"
+    )
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        sample_frames(media, codec="h264")
