@@ -280,3 +280,65 @@ def extract_docx_roundtrip(spark, sf_dir):
         F.col("s.kind").alias("kind"),
         F.col("s.text").alias("text"),
     )
+
+
+@query(
+    "size_gate_rejects",
+    # S1/S2 oversize REJECTION path (reference returns 413 for
+    # size > cap, services/file_utils.py:15-38): the engine keeps a
+    # rejected-docs side output for observability instead of silently
+    # dropping. Wrapped doc size = n_chars + fixed boilerplate
+    # (255 + 130 bytes — pinned by this oracle: a wrapper change that
+    # alters boilerplate size breaks parity loudly).
+    oracle="""
+        SELECT doc_id, n_chars + 385 AS size_bytes,
+               'exceeds_max_size' AS reason
+        FROM documents
+        WHERE n_chars + 385 > 700
+    """,
+)
+def size_gate_rejects(spark, sf_dir):
+    corpus = wrap_documents_as_corpus(load(spark, sf_dir, "documents"))
+    return corpus.filter(F.col("size_bytes") > 700).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "size_bytes",
+        F.lit("exceeds_max_size").alias("reason"),
+    )
+
+
+@query(
+    "render_dispatch",
+    # S5 OutputFormat enum dispatch (services/docling_converter.py:23-28,
+    # 89-97): per-doc selected render — text for even ids, markdown odd
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'text' ELSE 'markdown' END AS fmt,
+               CASE WHEN doc_id % 2 = 0 THEN
+                    'Heading for document ' || doc_id || chr(10) ||
+                    text || chr(10) ||
+                    'Figure caption ' || doc_id || chr(10) ||
+                    'lang | ' || lang || chr(10) || 'chars | ' || n_chars
+               ELSE
+                    '## Heading for document ' || doc_id || chr(10) || chr(10) ||
+                    text || chr(10) || chr(10) ||
+                    '![figure alt ' || doc_id || '](' || doc_id || '/m0)' || chr(10) || chr(10) ||
+                    '*Figure caption ' || doc_id || '*' || chr(10) || chr(10) ||
+                    'lang | ' || lang || chr(10) || 'chars | ' || n_chars
+               END AS content
+        FROM documents
+    """,
+)
+def render_dispatch(spark, sf_dir):
+    from docling_api_spark.operators.render import render_markdown
+
+    corpus = wrap_documents_as_rich_corpus(load(spark, sf_dir, "documents"))
+    ext = extract(corpus)
+    fmt = F.when(F.col("doc_id").cast("long") % 2 == 0, "text").otherwise("markdown")
+    content = F.when(
+        fmt == "text", render_text(F.col("spans"))
+    ).otherwise(render_markdown(F.col("spans")))
+    return ext.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        fmt.alias("fmt"),
+        content.alias("content"),
+    )
