@@ -136,9 +136,66 @@ def reassemble(flat: DataFrame) -> DataFrame:
     )
 
 
-def extract(corpus: DataFrame, **kwargs) -> DataFrame:
-    """corpus → extracted(doc_id, spans): the full pipeline."""
-    return reassemble(extract_flat(corpus, **kwargs))
+ASSEMBLED_DDL = (
+    "doc_id string, "
+    "spans array<struct<kind:string,text:string,media_ref:string,order:int>>"
+)
+
+
+def _extract_single_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fast path: one input row = one single-raw-span doc = one output
+    row with the complete assembled spans array — no reassembly."""
+    for pdf in batches:
+        out_ids, out_spans = [], []
+        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            s = spans[0]
+            res = extract_raw_span(s["kind"], s["text"])
+            out_ids.append(doc_id)
+            out_spans.append(
+                [
+                    {"kind": r["kind"], "text": r["text"], "media_ref": r["media_ref"], "order": i}
+                    for i, r in enumerate(res)
+                ]
+            )
+        yield pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
+
+
+def extract(
+    corpus: DataFrame,
+    *,
+    max_size_bytes: int = MAX_FILE_SIZE_BYTES,
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """corpus → extracted(doc_id, spans): the full pipeline.
+
+    Two physical paths, identical semantics:
+
+    * **single-raw-span docs** (HTML/DOCX — the bulk of a web corpus):
+      the kernel output of one input row IS the complete ordered doc,
+      so extraction is a pure map — ZERO shuffles (one balancing
+      repartition when ``salt_partitions`` is set, but no reassembly
+      aggregation). This is the majority path at 100 TB.
+    * **multi-span docs** (PDFs, one raw span per page): pages spread
+      via the salted repartition, extract independently, reassemble
+      with the single hash-agg (the skew-defusing shard path).
+
+    Both paths produce (doc_id, spans) with order 0..n-1; outputs are
+    unioned (equivalence pinned by tests/test_extract_spark.py).
+    """
+    spark = corpus.sparkSession
+    if salt_partitions is None:
+        salt_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    gated = corpus.filter(F.col("size_bytes") <= F.lit(max_size_bytes))
+    single = gated.filter(F.size("spans") == 1).select("doc_id", "spans")
+    multi = gated.filter(F.size("spans") != 1)
+    if salt_partitions:
+        # balance only (cheap narrow rows in, no post-shuffle agg)
+        single = single.repartition(salt_partitions, F.xxhash64("doc_id"))
+    fast = single.mapInPandas(_extract_single_batches, schema=ASSEMBLED_DDL)
+    slow = reassemble(
+        extract_flat(multi, max_size_bytes=max_size_bytes, salt_partitions=salt_partitions)
+    )
+    return fast.unionByName(slow)
 
 
 def media_table(flat: DataFrame) -> DataFrame:
