@@ -175,7 +175,17 @@ def _scaling_child(sf_dir: str, cpus: str, repl: int) -> dict:
     from docling_api_spark.operators.extract import extract
     from docling_api_spark.operators.render import render_text
     from docling_api_spark.session import get_spark
-    from docling_api_spark.sources.catalog import load, wrap_documents_as_corpus
+    from docling_api_spark.sources.catalog import (
+        load,
+        wrap_documents_as_corpus,
+        wrap_documents_as_pdf_corpus,
+    )
+
+    # SPARK_GRAFT_SCALE_FMT=pdf exercises the multi-span shard path
+    # (salted page spread + reassembly) instead of the single-span
+    # fast path — the shard machinery's own scaling evidence
+    fmt = os.environ.get("SPARK_GRAFT_SCALE_FMT", "html")
+    wrap = wrap_documents_as_pdf_corpus if fmt == "pdf" else wrap_documents_as_corpus
 
     # calibrate BEFORE the JVM exists — a live/shutting-down JVM's
     # threads pollute the spin measurement
@@ -190,7 +200,10 @@ def _scaling_child(sf_dir: str, cpus: str, repl: int) -> dict:
     spark = get_spark(
         master=f"local[{cpus}]",
         app_name=f"scale-{cpus}",
-        shuffle_partitions=int(cpus),
+        # 4× cores: enough reduce partitions that a wide-row reassembly
+        # partition fits comfortably in memory even at 2 cores (cores×1
+        # measured GC-thrash superlinear artifacts on the PDF path)
+        shuffle_partitions=int(cpus) * 4,
         extra_conf=extra,
     )
     _warm(spark)
@@ -208,7 +221,7 @@ def _scaling_child(sf_dir: str, cpus: str, repl: int) -> dict:
             .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(replication - 1))))
             .select(F.concat_ws("_", "doc_id", "r").alias("doc_id"), "text")
         )
-        corpus = wrap_documents_as_corpus(big)
+        corpus = wrap(big)
         return extract(corpus).select(
             "doc_id", render_text(F.col("spans")).alias("content")
         )
@@ -225,6 +238,7 @@ def _scaling_child(sf_dir: str, cpus: str, repl: int) -> dict:
     spark.stop()
     return {
         "cpus": int(cpus),
+        "fmt": fmt,
         "sec": round(elapsed, 3),
         "docs": int(n_docs),
         "docs_per_sec": round(n_docs / elapsed, 1),
@@ -344,7 +358,9 @@ def main() -> None:
         return
     if argv and argv[0] == "--scaling":
         rep = run_scaling(sf_dir)
-        with open(os.path.join(os.path.dirname(__file__), "BENCH_SCALING.json"), "w") as f:
+        fmt = os.environ.get("SPARK_GRAFT_SCALE_FMT", "html")
+        out_name = "BENCH_SCALING.json" if fmt == "html" else f"BENCH_SCALING_{fmt}.json"
+        with open(os.path.join(os.path.dirname(__file__), out_name), "w") as f:
             json.dump(rep, f, indent=2)
         print(json.dumps(rep))
         return

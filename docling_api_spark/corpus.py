@@ -188,6 +188,8 @@ def _gen_pdf(rng: random.Random, doc_id: str, oversized: bool) -> tuple[list[dic
         two_col = (not oversized) and rng.random() < 0.3 and p > 0
         page_text, page_golden, media_idx = _gen_pdf_page(rng, doc_id, p, media_idx, two_col)
         raw.append({"kind": "pdf_page", "text": page_text, "media_ref": "", "offset": p})
+        for g in page_golden:
+            g["page"] = p
         golden.extend(page_golden)
     return raw, golden
 
@@ -264,7 +266,13 @@ def gen_doc(i: int, seed: int = _SEED) -> tuple[dict, list[dict]]:
     size_bytes = sum(len(s["text"].encode("utf-8")) for s in raw)
     doc = {"doc_id": doc_id, "fmt": fmt, "size_bytes": size_bytes, "spans": raw}
     golden = [
-        {"kind": g["kind"], "text": g["text"], "media_ref": g["media_ref"], "order": k}
+        {
+            "kind": g["kind"],
+            "text": g["text"],
+            "media_ref": g["media_ref"],
+            "order": k,
+            "page": g.get("page", 0),
+        }
         for k, g in enumerate(golden)
     ]
     return doc, golden
@@ -282,14 +290,14 @@ def corpus_pdf(indices: list[int], seed: int = _SEED, with_golden: bool = False)
     return pd.DataFrame(rows, columns=cols)
 
 
-_GOLDEN_FIELDS = "kind: string, text: string, media_ref: string, `order`: int"
+_GOLDEN_FIELDS = "kind: string, text: string, media_ref: string, `order`: int, page: int"
 CORPUS_DDL = (
     "doc_id string, fmt string, size_bytes long, "
     "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
 )
 GOLDEN_DDL = (
     "doc_id string, "
-    "spans array<struct<kind:string,text:string,media_ref:string,`order`:int>>"
+    "spans array<struct<kind:string,text:string,media_ref:string,`order`:int,page:int>>"
 )
 
 

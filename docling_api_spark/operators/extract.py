@@ -118,6 +118,7 @@ def reassemble(flat: DataFrame) -> DataFrame:
                     F.col("kind"),
                     F.col("text"),
                     F.col("media_ref"),
+                    F.col("page"),
                 )
             )
         ).alias("sorted_spans")
@@ -131,6 +132,7 @@ def reassemble(flat: DataFrame) -> DataFrame:
                 s["text"].alias("text"),
                 s["media_ref"].alias("media_ref"),
                 i.cast("int").alias("order"),
+                s["page"].alias("page"),
             ),
         ).alias("spans"),
     )
@@ -138,7 +140,7 @@ def reassemble(flat: DataFrame) -> DataFrame:
 
 ASSEMBLED_DDL = (
     "doc_id string, "
-    "spans array<struct<kind:string,text:string,media_ref:string,order:int>>"
+    "spans array<struct<kind:string,text:string,media_ref:string,order:int,page:int>>"
 )
 
 
@@ -153,7 +155,13 @@ def _extract_single_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
             out_ids.append(doc_id)
             out_spans.append(
                 [
-                    {"kind": r["kind"], "text": r["text"], "media_ref": r["media_ref"], "order": i}
+                    {
+                        "kind": r["kind"],
+                        "text": r["text"],
+                        "media_ref": r["media_ref"],
+                        "order": i,
+                        "page": 0,  # single-span formats are pageless
+                    }
                     for i, r in enumerate(res)
                 ]
             )

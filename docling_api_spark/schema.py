@@ -30,6 +30,9 @@ OUT_SPAN = T.StructType(
         T.StructField("text", T.StringType(), True),
         T.StructField("media_ref", T.StringType(), True),
         T.StructField("order", T.IntegerType(), False),
+        # page provenance (reference: chunk page_number from item prov,
+        # services/chunking_service.py:73-77); 0 for pageless formats
+        T.StructField("page", T.IntegerType(), False),
     ]
 )
 

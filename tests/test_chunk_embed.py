@@ -139,3 +139,20 @@ class TestSparkChunkPath:
             assert g.content == w["content"]
             assert g.section_title == w["section_title"]
             assert g.token_count == w["token_count"]
+
+
+def test_chunk_page_provenance_from_pdf(spark):
+    """Chunks of a multi-page PDF carry the page number of their first
+    span (reference: page_number from doc item provenance,
+    services/chunking_service.py:73-77)."""
+    from docling_api_spark.operators.chunk import chunk_extracted
+    from docling_api_spark.operators.extract import extract
+    from docling_api_spark.sources.catalog import load, wrap_documents_as_pdf_corpus
+
+    corpus = wrap_documents_as_pdf_corpus(load(spark, "/root/testdata/sf0.001", "documents").limit(20))
+    chunks = chunk_extracted(extract(corpus), max_tokens=16).collect()
+    pages = {c.page for c in chunks}
+    assert 1 in pages and 2 in pages  # content from both pages survives
+    # page-2 chunks contain the doc body text (page 2 = the text para)
+    p2 = [c for c in chunks if c.page == 2]
+    assert p2 and all(c.content for c in p2)

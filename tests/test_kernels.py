@@ -25,7 +25,13 @@ def _load(name: str):
 
 def _numbered(spans: list[dict]) -> list[dict]:
     return [
-        {"kind": s["kind"], "text": s["text"], "media_ref": s["media_ref"], "order": i}
+        {
+            "kind": s["kind"],
+            "text": s["text"],
+            "media_ref": s["media_ref"],
+            "order": i,
+            **({"page": s["page"]} if "page" in s else {}),
+        }
         for i, s in enumerate(spans)
     ]
 
@@ -60,7 +66,9 @@ def test_corpus_roundtrip(i):
     doc, golden = gen_doc(i)
     out: list[dict] = []
     for s in sorted(doc["spans"], key=lambda s: s["offset"]):
-        out.extend(extract_raw_span(s["kind"], s["text"]))
+        page = s["offset"] if s["kind"] == "pdf_page" else 0
+        for r in extract_raw_span(s["kind"], s["text"]):
+            out.append({**r, "page": page})
     assert _numbered(out) == golden
 
 
