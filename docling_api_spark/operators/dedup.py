@@ -112,14 +112,15 @@ def verify_jaccard(
     sa = shingled.select(F.col("id").alias("a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("id").alias("b"), F.col("shingles").alias("sh_b"))
     joined = pairs.join(sa, "a").join(sb, "b")
-    jac = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
-        scale,
-    )
+    jac_raw = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    # filter on the UNROUNDED value (matches the ground-truth oracle's
+    # predicate); round only the reported column
     return (
-        joined.select("a", "b", jac.alias("jac"))
-        .filter(F.col("jac") >= threshold)
+        joined.select("a", "b", jac_raw.alias("jac_raw"))
+        .filter(F.col("jac_raw") >= threshold)
+        .select("a", "b", F.round("jac_raw", scale).alias("jac"))
     )
 
 
