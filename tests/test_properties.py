@@ -95,3 +95,50 @@ def test_pdf_blocks_vertical_stack_reads_top_down(ws):
     page = "\n".join(reversed(lines))
     spans = extract_pdf_page(page)
     assert [s["text"] for s in spans] == expected
+
+
+@settings(max_examples=40, deadline=None)
+@given(words.filter(lambda ws: len(ws) >= 6), st.integers(min_value=4, max_value=64))
+def test_chunker_section_title_tracks_last_heading(ws, budget):
+    """Every chunk's section_title equals the most recent heading
+    before its first content, regardless of token budget."""
+    mid = len(ws) // 2
+    spans = [
+        {"kind": "text", "text": " ".join(ws[:mid]), "media_ref": "", "page": 0},
+        {"kind": "heading", "text": "SEC", "media_ref": "", "page": 0},
+        {"kind": "text", "text": " ".join(ws[mid:]), "media_ref": "", "page": 0},
+    ]
+    chunks = chunk_spans(spans, max_tokens=budget)
+    seen_sec = False
+    for c in chunks:
+        if c["section_title"] == "SEC":
+            seen_sec = True
+            assert c["context"].startswith("SEC\n")
+        else:
+            assert not seen_sec, "pre-heading chunk after a SEC chunk"
+    assert seen_sec  # the post-heading text always lands somewhere
+
+
+@settings(max_examples=30, deadline=None)
+@given(words.filter(lambda ws: len(ws) >= 4))
+def test_minhash_monotone_under_shingle_superset(ws):
+    """Adding shingles can only lower (or keep) each MinHash member —
+    the structural property band-collision probability rests on."""
+    import hashlib
+
+    from docling_api_spark.functions.hashing import MINHASH_P, minhash_consts
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def sig(shingles, k=8):
+        out = []
+        for i in range(k):
+            a, b = minhash_consts(i)
+            out.append(min((a * (h32(s) % MINHASH_P) + b) % MINHASH_P for s in shingles))
+        return out
+
+    base = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+    superset = base | {"zzz extra shingle"}
+    s1, s2 = sig(base), sig(superset)
+    assert all(b <= a for a, b in zip(s1, s2))
