@@ -105,3 +105,53 @@ def ivf_ann_topk(spark, sf_dir):
     return ivf_topk(
         load(spark, sf_dir, "embeddings"), _query_vec(spark, sf_dir), k=5, n_cells=16, nprobe=4
     )
+
+
+@query(
+    "doc_embedding_dup_pairs",
+    # embedding-cosine near-dup over OUR embedder's vectors (brief:
+    # dedup strategies over the documents table). Cosine is computed
+    # from the embedder's raw INT bucket counts on both engines
+    # (cosine is scale-invariant, and float32 normalization would
+    # diverge cross-engine); brute-force on both sides — the synthetic
+    # docs share a tiny vocabulary, so natural cosines reach ~0.997
+    # and no threshold cleanly separates planted dups, making banded
+    # recall unguaranteeable (the LSH scale path is exercised on the
+    # well-separated `embeddings` table instead, `embedding_dup_pairs`).
+    oracle=f"""
+        WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+        corpus AS (
+            SELECT doc_id, text FROM base
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id % 10 = 0
+        ),
+        t AS (SELECT doc_id, {S.toks("text")} AS tok FROM corpus),
+        v AS (SELECT doc_id,
+                     [CAST(list_sum(list_prepend(0,
+                        [CASE WHEN {S.md5long("tk")} % 384 = b
+                              THEN (CASE WHEN ({S.md5long("tk")} >> 31) & 1 = 1 THEN 1 ELSE -1 END)
+                              ELSE 0 END for tk in tok])) AS BIGINT)
+                      for b in range(0, 384)] AS vec
+              FROM t)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               {S.cosine("a.vec", "b.vec", 384)} AS cos
+        FROM v a JOIN v b ON a.doc_id < b.doc_id
+        WHERE {S.cosine("a.vec", "b.vec", 384)} >= 0.99
+    """,
+)
+def doc_embedding_dup_pairs(spark, sf_dir):
+    from docling_api_spark.functions.hashing import cosine as _cos
+    from docling_api_spark.operators.embed import hash_counts_udf
+
+    base = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150).select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = base.unionByName(planted)
+    vecs = corpus.select("doc_id", hash_counts_udf(384)(F.col("text")).alias("vec"))
+    a = vecs.select(F.col("doc_id").alias("a"), F.col("vec").alias("va"))
+    b = vecs.select(F.col("doc_id").alias("b"), F.col("vec").alias("vb"))
+    pairs = a.join(b, F.col("a") < F.col("b")).select(
+        "a", "b", _cos(F.col("va"), F.col("vb"), 6).alias("cos")
+    )
+    return pairs.filter(F.col("cos") >= 0.99)
