@@ -59,8 +59,8 @@ def chunk_documents(spark, sf_dir):
               FROM h GROUP BY 1, 2)
         SELECT doc_id,
                COUNT(CASE WHEN w <> 0 THEN 1 END) AS n_nonzero,
-               SUM(ABS(w)) AS sum_abs,
-               SUM(w) AS net
+               CAST(SUM(ABS(w)) AS BIGINT) AS sum_abs,
+               CAST(SUM(w) AS BIGINT) AS net
         FROM b GROUP BY doc_id
     """,
 )
@@ -92,10 +92,10 @@ def embed_hash_stats(spark, sf_dir):
               FROM t)
         SELECT doc_id, chunk_index,
                len(ctoks) AS token_count,
-               list_sum(list_prepend(CAST(0 AS BIGINT),
+               CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
                    [CAST((CASE WHEN ({S.md5long("tk")} >> 31) & 1 = 1 THEN 1 ELSE -1 END) *
                          ({S.md5long("tk")} % {EMBEDDING_DIM} + 1) AS BIGINT)
-                    for tk in ctoks])) AS checksum
+                    for tk in ctoks])) AS BIGINT) AS checksum
         FROM c
     """,
 )
@@ -142,10 +142,10 @@ def chunk_embed_pipeline(spark, sf_dir):
               FROM t)
         SELECT doc_id, chunk_index,
                len(ctoks) AS token_count,
-               list_sum(list_prepend(CAST(0 AS BIGINT),
+               CAST(list_sum(list_prepend(CAST(0 AS BIGINT),
                    [CAST((CASE WHEN ({S.md5long("tk")} >> 31) & 1 = 1 THEN 1 ELSE -1 END) *
                          ({S.md5long("tk")} % {EMBEDDING_DIM} + 1) AS BIGINT)
-                    for tk in ctoks])) AS checksum
+                    for tk in ctoks])) AS BIGINT) AS checksum
         FROM c
     """,
 )

@@ -60,7 +60,7 @@ def extract_span_counts(spark, sf_dir):
     oracle="""
         SELECT source,
                COUNT(*) AS docs,
-               SUM(n_chars) AS total_chars
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY source
     """,
 )
