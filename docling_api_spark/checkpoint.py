@@ -42,43 +42,104 @@ COMMITS_DIR = "_commits"
 
 
 class CommitLog:
-    """Atomic JSON commit manifests under ``<table>/_commits/``."""
+    """Atomic JSON commit manifests under ``<table>/_commits/``.
 
-    def __init__(self, table_path: str) -> None:
+    Manifest I/O goes through the **Hadoop FileSystem API** when a
+    SparkSession is supplied, so the manifests live on the same storage
+    the executors write the data to (HDFS/S3A/file), not on the
+    driver's local disk. Publish is write-temp + ``fs.rename``: atomic
+    on POSIX and HDFS; on S3A the destination object only becomes
+    visible once the copy completes, so in all three cases a visible
+    ``commit-*.json`` implies a complete manifest. Readers additionally
+    skip temp files and tolerate torn/unparseable manifests (treated as
+    never-written — the batch just reruns idempotently on resume).
+
+    Without a session (``spark=None``) a plain-POSIX fallback with the
+    same temp+``os.replace`` protocol is used (local paths only).
+    """
+
+    def __init__(self, table_path: str, spark: SparkSession | None = None) -> None:
         self.dir = os.path.join(table_path, COMMITS_DIR)
+        self.spark = spark
+
+    # -- Hadoop FileSystem lane -------------------------------------------
+    def _fs(self):
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(self.dir)
+        conf = self.spark._jsc.hadoopConfiguration()
+        return path.getFileSystem(conf), jvm.org.apache.hadoop.fs.Path
+
+    def _manifests(self) -> list[dict]:
+        """All parseable commit manifests, in seq filename order."""
+        out: list[tuple[str, dict]] = []
+        if self.spark is not None:
+            fs, Path = self._fs()
+            d = Path(self.dir)
+            if not fs.exists(d):
+                return []
+            for st in fs.listStatus(d):
+                name = st.getPath().getName()
+                if not (name.startswith("commit-") and name.endswith(".json")):
+                    continue
+                stream = fs.open(st.getPath())
+                try:
+                    data = bytes(
+                        self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                    )
+                finally:
+                    stream.close()
+                try:
+                    out.append((name, json.loads(data)))
+                except ValueError:
+                    continue  # torn manifest == never written
+        else:
+            if not os.path.isdir(self.dir):
+                return []
+            for name in os.listdir(self.dir):
+                if not (name.startswith("commit-") and name.endswith(".json")):
+                    continue
+                try:
+                    with open(os.path.join(self.dir, name)) as f:
+                        out.append((name, json.load(f)))
+                except ValueError:
+                    continue
+        return [payload for _, payload in sorted(out)]
 
     def completed_buckets(self) -> set[int]:
         done: set[int] = set()
-        if not os.path.isdir(self.dir):
-            return done
-        for name in os.listdir(self.dir):
-            if name.startswith("commit-") and name.endswith(".json"):
-                with open(os.path.join(self.dir, name)) as f:
-                    done.update(json.load(f)["buckets"])
+        for payload in self._manifests():
+            done.update(payload["buckets"])
         return done
 
     def commits(self) -> list[dict]:
-        out = []
-        if not os.path.isdir(self.dir):
-            return out
-        for name in sorted(os.listdir(self.dir)):
-            if name.startswith("commit-") and name.endswith(".json"):
-                with open(os.path.join(self.dir, name)) as f:
-                    out.append(json.load(f))
-        return out
+        return self._manifests()
 
     def commit(self, seq: int, buckets: list[int], metrics: dict) -> None:
-        """Write manifest atomically: temp file + rename (POSIX rename
-        is atomic within a filesystem — a reader never sees a torn
-        manifest)."""
-        os.makedirs(self.dir, exist_ok=True)
+        """Publish manifest atomically: temp write + rename."""
         payload = {"seq": seq, "buckets": sorted(buckets), "metrics": metrics}
-        tmp = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            json.dump(payload, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(self.dir, f"commit-{seq:06d}.json"))
+        blob = json.dumps(payload).encode()
+        tmp_name = f".tmp-{uuid.uuid4().hex}"
+        final_name = f"commit-{seq:06d}.json"
+        if self.spark is not None:
+            fs, Path = self._fs()
+            fs.mkdirs(Path(self.dir))
+            tmp = Path(os.path.join(self.dir, tmp_name))
+            stream = fs.create(tmp, False)
+            try:
+                stream.write(bytearray(blob))
+                stream.hflush()
+            finally:
+                stream.close()
+            if not fs.rename(tmp, Path(os.path.join(self.dir, final_name))):
+                raise IOError(f"commit manifest publish failed for seq {seq}")
+        else:
+            os.makedirs(self.dir, exist_ok=True)
+            tmp = os.path.join(self.dir, tmp_name)
+            with open(tmp, "wb") as f:
+                f.write(blob)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(self.dir, final_name))
 
 
 def bucket_of(col, num_buckets: int):
@@ -91,6 +152,7 @@ def extract_with_checkpoint(
     num_buckets: int = 16,
     batch_buckets: int = 4,
     fail_after_batches: int | None = None,
+    max_size_bytes: int | None = None,
 ) -> dict:
     """Run the extraction pipeline bucket-batch by bucket-batch with
     commit metadata; resumable after any crash.
@@ -101,7 +163,7 @@ def extract_with_checkpoint(
     spark = corpus.sparkSession
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    log = CommitLog(table_path)
+    log = CommitLog(table_path, spark)
     done = log.completed_buckets()
     pending = [b for b in range(num_buckets) if b not in done]
 
@@ -111,7 +173,8 @@ def extract_with_checkpoint(
         for i in range(0, len(pending), batch_buckets):
             group = pending[i : i + batch_buckets]
             batch = corpus.filter(bucket_of(F.col("doc_id"), num_buckets).isin(group))
-            extracted = extract(batch).withColumn(
+            extract_kwargs = {} if max_size_bytes is None else {"max_size_bytes": max_size_bytes}
+            extracted = extract(batch, **extract_kwargs).withColumn(
                 "bucket", bucket_of(F.col("doc_id"), num_buckets)
             )
             extracted.persist()
@@ -160,7 +223,7 @@ def commit_history(spark: SparkSession, table_path: str) -> DataFrame:
             c["metrics"]["spans"],
             c["metrics"]["chars"],
         )
-        for c in CommitLog(table_path).commits()
+        for c in CommitLog(table_path, spark).commits()
     ]
     return spark.createDataFrame(
         rows, "seq int, buckets array<int>, docs long, spans long, chars long"

@@ -96,10 +96,19 @@ def embed_chunks(chunks: DataFrame, text_col: str = "context", dim: int = EMBEDD
 def embed_chunks_deduped(
     chunks: DataFrame, text_col: str = "context", dim: int = EMBEDDING_DIM
 ) -> DataFrame:
-    """Embed each distinct text once, join back (scalable cache)."""
+    """Embed each distinct text once, join back (scalable cache).
+
+    The join key is null-safe so NULL-text rows behave exactly like
+    ``embed_chunks`` (which embeds '' for NULL via the UDF's fillna)
+    instead of silently getting a NULL embedding.
+    """
     distinct = chunks.select(text_col).dropDuplicates([text_col])
-    embedded = distinct.withColumn("embedding", embedding_udf(dim)(F.col(text_col)))
-    return chunks.join(embedded, on=text_col, how="left")
+    embedded = distinct.withColumn("embedding", embedding_udf(dim)(F.col(text_col))).withColumnRenamed(
+        text_col, "__embed_key"
+    )
+    return chunks.join(
+        embedded, chunks[text_col].eqNullSafe(F.col("__embed_key")), how="left"
+    ).drop("__embed_key")
 
 
 def l2_norm(col: Column) -> Column:

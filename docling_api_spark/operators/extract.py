@@ -152,6 +152,9 @@ def _extract_single_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
         for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
             s = spans[0]
             res = extract_raw_span(s["kind"], s["text"])
+            # mirror _extract_batches: pdf_page spans carry their page
+            # number in the raw offset; other formats are pageless
+            page = int(s["offset"]) if s["kind"] == "pdf_page" else 0
             out_ids.append(doc_id)
             out_spans.append(
                 [
@@ -160,7 +163,7 @@ def _extract_single_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
                         "text": r["text"],
                         "media_ref": r["media_ref"],
                         "order": i,
-                        "page": 0,  # single-span formats are pageless
+                        "page": page,
                     }
                     for i, r in enumerate(res)
                 ]
@@ -199,7 +202,11 @@ def extract(
     if salt_partitions:
         # balance only (cheap narrow rows in, no post-shuffle agg)
         single = single.repartition(salt_partitions, F.xxhash64("doc_id"))
-    fast = single.mapInPandas(_extract_single_batches, schema=ASSEMBLED_DDL)
+    # zero-output docs vanish on the reassembly path (groupBy over zero
+    # rows) — drop them here too so path choice never changes the output
+    fast = single.mapInPandas(_extract_single_batches, schema=ASSEMBLED_DDL).filter(
+        F.size("spans") > 0
+    )
     slow = reassemble(
         extract_flat(multi, max_size_bytes=max_size_bytes, salt_partitions=salt_partitions)
     )

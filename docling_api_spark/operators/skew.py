@@ -31,16 +31,21 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join robust to hot keys in ``big``: small side replicated
     ``salt_buckets``×, big side salted deterministically; the output
-    drops the salt and equals the unsalted join row-for-row."""
+    drops the salt and equals the unsalted join row-for-row.
+
+    Only ``inner``/``left`` joins are supported: for right/full joins
+    the replicated small side would emit each unmatched row
+    ``salt_buckets`` times, silently breaking row-equality.
+    """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins only, got how={how!r}")
+    non_key = [c for c in big.columns if c != key]
+    # a keys-only big side still needs a deterministic salt source
+    salt_src = F.xxhash64(*non_key) if non_key else F.xxhash64(F.col(key))
     salted_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
-    salted_big = big.withColumn(
-        "__salt",
-        F.pmod(F.xxhash64(*[c for c in big.columns if c != key]), F.lit(salt_buckets)).cast(
-            "int"
-        ),
-    )
+    salted_big = big.withColumn("__salt", F.pmod(salt_src, F.lit(salt_buckets)).cast("int"))
     return salted_big.join(salted_small, on=[key, "__salt"], how=how).drop("__salt")
 
 

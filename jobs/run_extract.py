@@ -37,6 +37,12 @@ def main() -> None:
     ap.add_argument("--num-buckets", type=int, default=256)
     ap.add_argument("--batch-buckets", type=int, default=32)
     ap.add_argument("--max-size-mb", type=int, default=50)
+    ap.add_argument(
+        "--resume",
+        action="store_true",
+        help="resume from committed buckets (this is also the default behavior; "
+        "the flag just makes intent explicit in job specs)",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -55,6 +61,7 @@ def main() -> None:
         args.output,
         num_buckets=args.num_buckets,
         batch_buckets=args.batch_buckets,
+        max_size_bytes=args.max_size_mb * 1024 * 1024,
     )
     hist = commit_history(spark, args.output)
     totals = hist.groupBy().sum("docs", "spans", "chars").first()

@@ -156,3 +156,20 @@ def test_chunk_page_provenance_from_pdf(spark):
     # page-2 chunks contain the doc body text (page 2 = the text para)
     p2 = [c for c in chunks if c.page == 2]
     assert p2 and all(c.content for c in p2)
+
+
+def test_embed_deduped_null_text_matches_direct(spark):
+    """NULL-text rows must get the same embedding ('' embedding) on the
+    deduped-cache path as on the direct path (null-safe join key)."""
+    from docling_api_spark.operators.embed import embed_chunks, embed_chunks_deduped
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "alpha beta"), (4, None)],
+        "id int, context string",
+    )
+    direct = {r["id"]: r["embedding"] for r in embed_chunks(df).collect()}
+    deduped = {r["id"]: r["embedding"] for r in embed_chunks_deduped(df).collect()}
+    assert set(direct) == set(deduped)
+    for i in direct:
+        assert deduped[i] is not None, f"row {i} lost its embedding on the deduped path"
+        assert direct[i] == deduped[i]

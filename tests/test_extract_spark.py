@@ -34,6 +34,49 @@ def test_extract_stable_under_salting(spark):
     assert [r.asDict() for r in a.collect()] == [r.asDict() for r in b.collect()]
 
 
+def test_fast_slow_path_equivalence_edge_cases(spark):
+    """The shuffle-free single-span fast path must agree with the
+    reassembly path on (a) pdf_page page provenance from a nonzero raw
+    offset and (b) docs whose kernel output is empty (must vanish on
+    both paths)."""
+    from pyspark.sql import Row
+
+    span = lambda kind, text, off: Row(kind=kind, text=text, media_ref="", offset=off)  # noqa: E731
+    rows = [
+        # single-span pdf_page doc, 1-based page number in offset
+        Row(
+            doc_id="p1",
+            fmt="pdf",
+            size_bytes=100,
+            spans=[span("pdf_page", "BLOCK 0,0,100,10,heading|Solo page", 4)],
+        ),
+        # boilerplate-only html: kernel emits zero spans
+        Row(
+            doc_id="e1",
+            fmt="html",
+            size_bytes=100,
+            spans=[
+                span(
+                    "html",
+                    "<html><body><nav><a href='/'>home</a></nav><footer>f</footer></body></html>",
+                    0,
+                )
+            ],
+        ),
+    ]
+    corpus = spark.createDataFrame(rows)
+    fast_out = {r["doc_id"]: r["spans"] for r in extract(corpus, salt_partitions=2).collect()}
+    from docling_api_spark.operators.extract import reassemble
+
+    slow_out = {
+        r["doc_id"]: r["spans"]
+        for r in reassemble(extract_flat(corpus, salt_partitions=2)).collect()
+    }
+    assert set(fast_out) == set(slow_out) == {"p1"}  # e1 vanishes on both
+    assert [s.asDict() for s in fast_out["p1"]] == [s.asDict() for s in slow_out["p1"]]
+    assert fast_out["p1"][0]["page"] == 4
+
+
 def test_size_gate(spark):
     corpus = corpus_df(spark, 20)
     out = extract(corpus, max_size_bytes=1)  # everything filtered

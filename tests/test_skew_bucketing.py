@@ -69,3 +69,24 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """Right/full joins would replicate unmatched small-side rows
+    salt_buckets times — the operator must refuse them."""
+    import pytest
+
+    big = spark.createDataFrame([(1, "a")], "k int, v string")
+    small = spark.createDataFrame([(1, "x")], "k int, w string")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, "k", salt_buckets=4, how=how)
+
+
+def test_salted_join_keys_only_big_side(spark):
+    """A big side with no non-key columns still salts (on the key)."""
+    big = spark.createDataFrame([(i % 3,) for i in range(30)], "k int")
+    small = spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], "k int, w string")
+    got = salted_join(big, small, "k", salt_buckets=4).orderBy("k", "w")
+    want = big.join(small, "k").orderBy("k", "w")
+    assert [r.asDict() for r in got.collect()] == [r.asDict() for r in want.collect()]
