@@ -81,7 +81,7 @@ def embed_hash_stats(spark, sf_dir):
 
 
 @query(
-    "chunk_embed_pipeline",
+    "chunk_embed_pipeline", prio=90,
     oracle=f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
         c AS (SELECT doc_id,

@@ -39,7 +39,7 @@ def extract_html_roundtrip(spark, sf_dir):
 
 
 @query(
-    "extract_span_counts",
+    "extract_span_counts", prio=90,
     # wrapped docs always produce exactly 1 main-content span; the
     # boilerplate (header h1, nav links, ad sidebar, link-farm,
     # footer) must contribute zero spans.
@@ -86,7 +86,7 @@ def extract_metrics(spark, sf_dir):
 
 
 @query(
-    "extract_rich_spans",
+    "extract_rich_spans", prio=90,
     # the north-rule invariant itself: exact (kind, text, media_ref, order)
     oracle="""
         SELECT doc_id, 0 AS ord, 'heading' AS kind,

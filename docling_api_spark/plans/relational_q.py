@@ -170,7 +170,7 @@ def anti_join_add_if_absent(spark, sf_dir):
 
 
 @query(
-    "semi_join_exists",  # IN-list as semi join (services/rag_service.py:72-76)
+    "semi_join_exists", prio=90,  # IN-list as semi join (services/rag_service.py:72-76)
     oracle="SELECT o_orderkey, o_totalprice FROM orders o WHERE EXISTS "
     "(SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)",
 )
@@ -261,7 +261,7 @@ def tpch_q1_style(spark, sf_dir):
 
 
 @query(
-    "topk_global",  # T1/T2: ORDER BY score LIMIT k → TakeOrderedAndProject
+    "topk_global", prio=90,  # T1/T2: ORDER BY score LIMIT k → TakeOrderedAndProject
     oracle="SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 10",
 )
 def topk_global(spark, sf_dir):
@@ -434,7 +434,7 @@ def score_from_distance(spark, sf_dir):
 
 
 @query(
-    "sketch_distinct_users",  # HLL++ distinct count within 5% of exact
+    "sketch_distinct_users", prio=90,  # HLL++ distinct count within 5% of exact
     oracle="""
         SELECT event_type, 1 AS within_tol FROM events GROUP BY event_type
     """,
@@ -454,7 +454,7 @@ def sketch_distinct_users(spark, sf_dir):
 
 
 @query(
-    "sketch_value_quantiles",  # approx percentiles within 2% of exact
+    "sketch_value_quantiles", prio=90,  # approx percentiles within 2% of exact
     oracle="SELECT 1 AS q50_ok, 1 AS q99_ok",
 )
 def sketch_value_quantiles(spark, sf_dir):
@@ -498,7 +498,7 @@ def salted_skew_join(spark, sf_dir):
 
 
 @query(
-    "min_cost_supplier",  # TPC-H Q2-style correlated-min decorrelated via window
+    "min_cost_supplier", prio=90,  # TPC-H Q2-style correlated-min decorrelated via window
     oracle="""
         WITH priced AS (
             SELECT l_partkey, l_suppkey,
@@ -549,7 +549,7 @@ def min_cost_supplier(spark, sf_dir):
 
 
 @query(
-    "rollup_status_priority",  # hierarchical totals (engine extension:
+    "rollup_status_priority", prio=90,  # hierarchical totals (engine extension:
     # the reference computes its stats flat, A1; a 100 TB metrics layer
     # wants subtotal/grand-total in one pass)
     oracle="""

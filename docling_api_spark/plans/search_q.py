@@ -21,7 +21,7 @@ DIM = 64
 
 
 @query(
-    "search_pipeline",
+    "search_pipeline", prio=10,
     # KNN over embeddings (vec_id keys the documents table here: the
     # driver's synthetic tables stand in for chunks/docs) → join doc
     # metadata → score 1/(1+dist)-style transform → formatted context
@@ -66,7 +66,7 @@ def search_pipeline(spark, sf_dir):
 
 
 @query(
-    "sessionize_events",
+    "sessionize_events", prio=10,
     # gap-based sessionization (30-min inactivity starts a new
     # session): the batch twin of the stateful-streaming session
     # operator; classic lag + conditional cumsum

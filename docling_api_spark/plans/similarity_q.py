@@ -30,7 +30,7 @@ def _query_vec(spark, sf_dir, vec_id: int = 0):
 
 
 @query(
-    "knn_cosine_topk",
+    "knn_cosine_topk", prio=10,
     oracle=f"""
         WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         SELECT e.vec_id, {_COS} AS sim
@@ -47,7 +47,7 @@ def knn_cosine_topk(spark, sf_dir):
 
 
 @query(
-    "ann_lsh_topk",
+    "ann_lsh_topk", prio=10,
     oracle=f"""
         WITH {S.srp_planes_cte(DIM, 8)},
              {S.srp_sigs_cte("embeddings", "vec_id", "embedding", DIM)},
@@ -74,7 +74,7 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 @query(
-    "embedding_dup_pairs",
+    "embedding_dup_pairs", prio=10,
     oracle=f"""
         WITH {S.DUP_VECTORS_CTE.strip()}
         SELECT a.vec_id AS a, b.vec_id AS b,
@@ -95,7 +95,7 @@ def embedding_dup_pairs_q(spark, sf_dir):
     return embedding_dup_pairs(e.unionByName(planted), dim=DIM, threshold=0.9, n_bits=8)
 
 
-@query("ivf_ann_topk")  # approximate (KMeans internals) → rows-only driver check
+@query("ivf_ann_topk", prio=10)  # approximate (KMeans internals) → rows-only driver check
 def ivf_ann_topk(spark, sf_dir):
     """IVF approximate top-k: KMeans(16) coarse cells, probe the 4
     nearest, exact rescoring inside. Recall vs brute force is asserted
@@ -108,7 +108,7 @@ def ivf_ann_topk(spark, sf_dir):
 
 
 @query(
-    "doc_embedding_dup_pairs",
+    "doc_embedding_dup_pairs", prio=10,
     # embedding-cosine near-dup over OUR embedder's vectors (brief:
     # dedup strategies over the documents table). Cosine is computed
     # from the embedder's raw INT bucket counts on both engines

@@ -25,7 +25,7 @@ _TOKS = S.toks("text")
 
 
 @query(
-    "token_count_bpe",
+    "token_count_bpe", prio=10,
     oracle=f"""
         SELECT doc_id,
                len({_TOKS}) AS n_ws_tokens,
@@ -50,7 +50,7 @@ _STOP_EN = ["the", "a", "of", "and", "to", "in"]
 
 
 @query(
-    "textstats_quality",
+    "textstats_quality", prio=10,
     oracle=f"""
         WITH t AS (SELECT doc_id, n_chars, {_TOKS} AS tok FROM documents)
         SELECT doc_id,
@@ -104,7 +104,7 @@ def _lang_score_sql(lang: str) -> str:
 
 
 @query(
-    "langid_heuristic",
+    "langid_heuristic", prio=10,
     oracle=f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents)
         SELECT doc_id,
@@ -155,7 +155,7 @@ def langid_heuristic(spark, sf_dir):
 
 
 @query(
-    "doc_fingerprint",
+    "doc_fingerprint", prio=10,
     oracle=f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents)
         SELECT doc_id, {S.fingerprint("tok")} AS fp, {S.md5long("doc_id::VARCHAR")} AS id_hash
@@ -174,7 +174,7 @@ def doc_fingerprint(spark, sf_dir):
 
 
 @query(
-    "simhash_signatures",
+    "simhash_signatures", prio=10,
     oracle=f"""
         WITH t AS (SELECT doc_id, {S.simhash32(S.toks("text"))} AS sig FROM documents),
              r AS (SELECT sig AS ref_sig FROM t WHERE doc_id = 0)
