@@ -138,19 +138,32 @@ def simhash_from_hashes(hashes: Column, bits: int = 32) -> Column:
     ``bits`` sizes the signature (32 from md5_long hashes, 60 from
     md5_long60) — wider signatures give exponentially more LSH band
     buckets, which is what keeps Hamming-banded dedup from drowning
-    in random collisions as the corpus grows."""
+    in random collisions as the corpus grows.
 
-    def _voter(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    out = None
-    for b in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), _voter(b))
-        c = F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        out = c if out is None else out + c
-    return out
+    Single-pass formulation: ONE aggregate whose accumulator is the
+    length-``bits`` vote vector (zip_with against a literal 2^b mask
+    array), instead of ``bits`` independent aggregates — one traversal
+    of the hash array per doc and a codegen tree ~bits× smaller (the
+    60-aggregate form blew past the JIT inlining budget and ran
+    interpreted on first use). Bit membership tests use bitwiseAND
+    against the mask, never float division — exact for 60-bit hashes.
+    """
+    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    zeros = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            pow2,
+            lambda a, p: a + F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(votes, pow2, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash32(tok: Column) -> Column:

@@ -44,13 +44,34 @@ def _token_hash(token: str) -> int:
     return int(hashlib.md5(token.encode("utf-8")).hexdigest()[:8], 16)
 
 
+# Token→hash memo, per Python worker. Natural-language token frequency
+# is Zipfian, so even a modest memo absorbs almost every md5 call; the
+# cap bounds worker memory at ~100 MB worst case for 1M entries.
+_HASH_MEMO: dict[str, int] = {}
+_HASH_MEMO_CAP = 1_000_000
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    memo = _HASH_MEMO
+    out = np.empty(len(tokens), dtype=np.int64)
+    for i, t in enumerate(tokens):
+        h = memo.get(t)
+        if h is None:
+            h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+            if len(memo) < _HASH_MEMO_CAP:
+                memo[t] = h
+        out[i] = h
+    return out
+
+
 def hash_counts(text: str, dim: int = EMBEDDING_DIM) -> np.ndarray:
     """Signed bucket counts (int64): bucket = h % dim, sign = bit 31."""
-    vec = np.zeros(dim, dtype=np.int64)
-    for tok in text.split():
-        h = _token_hash(tok)
-        vec[h % dim] += 1 if (h & MASK31) else -1
-    return vec
+    toks = text.split()
+    if not toks:
+        return np.zeros(dim, dtype=np.int64)
+    h = _token_hashes(toks)
+    signs = np.where(h & MASK31, 1, -1)
+    return np.bincount(h % dim, weights=signs, minlength=dim).astype(np.int64)
 
 
 def feature_hash_embed(texts: list[str], dim: int = EMBEDDING_DIM) -> np.ndarray:
