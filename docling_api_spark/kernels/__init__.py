@@ -16,4 +16,4 @@ services/docling_converter.py:43-99 configures it; we own the logic):
   - docx.py: simplified WordprocessingML strip.
 """
 
-from docling_api_spark.kernels.dispatch import extract_raw_span  # noqa: F401
+from docling_api_spark.kernels.dispatch import PAGED_KINDS, extract_raw_span  # noqa: F401

@@ -14,14 +14,22 @@ from __future__ import annotations
 from docling_api_spark.kernels.docx import extract_docx
 from docling_api_spark.kernels.html import extract_html
 from docling_api_spark.kernels.pdf import extract_pdf_page
+from docling_api_spark.kernels.pptx import extract_pptx_slide
+from docling_api_spark.kernels.xlsx import extract_xlsx_sheet
 
-__all__ = ["extract_raw_span", "KERNELS"]
+__all__ = ["extract_raw_span", "KERNELS", "PAGED_KINDS"]
 
 KERNELS = {
     "html": extract_html,
     "pdf_page": extract_pdf_page,
     "docx_xml": extract_docx,
+    "xlsx_sheet": extract_xlsx_sheet,
+    "pptx_slide": extract_pptx_slide,
 }
+
+# raw-span kinds whose raw offset is a page/sheet/slide number that must
+# flow into output-span ``page`` provenance (other kinds are pageless)
+PAGED_KINDS = frozenset({"pdf_page", "xlsx_sheet", "pptx_slide"})
 
 
 def extract_raw_span(kind: str, text: str | None, media_prefix: str = "") -> list[dict]:

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from docling_api_spark import MAX_FILE_SIZE_BYTES
-from docling_api_spark.kernels import extract_raw_span
+from docling_api_spark.kernels import PAGED_KINDS, extract_raw_span
 
 FLAT_DDL = (
     "doc_id string, raw_offset int, local_order int, "
@@ -56,7 +56,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for doc_id, rkind, rtext, roffset in zip(
             pdf["doc_id"], pdf["raw_kind"], pdf["raw_text"], pdf["raw_offset"]
         ):
-            page = int(roffset) if rkind == "pdf_page" else 0
+            page = int(roffset) if rkind in PAGED_KINDS else 0
             for j, span in enumerate(extract_raw_span(rkind, rtext)):
                 out["doc_id"].append(doc_id)
                 out["raw_offset"].append(int(roffset))
@@ -152,9 +152,9 @@ def _extract_single_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
         for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
             s = spans[0]
             res = extract_raw_span(s["kind"], s["text"])
-            # mirror _extract_batches: pdf_page spans carry their page
+            # mirror _extract_batches: paged kinds carry their page
             # number in the raw offset; other formats are pageless
-            page = int(s["offset"]) if s["kind"] == "pdf_page" else 0
+            page = int(s["offset"]) if s["kind"] in PAGED_KINDS else 0
             out_ids.append(doc_id)
             out_spans.append(
                 [

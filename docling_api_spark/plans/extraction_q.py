@@ -342,3 +342,62 @@ def render_dispatch(spark, sf_dir):
         fmt.alias("fmt"),
         content.alias("content"),
     )
+
+
+@query(
+    "extract_xlsx_roundtrip", prio=20,
+    # D8 XLSX grid: per-sheet heading + cell-grid table, sheet index as
+    # page provenance (reference InputFormat.XLSX dispatch,
+    # services/docling_converter.py:64-67; format list README.md:7)
+    oracle="""
+        SELECT doc_id, 0 AS ord, 'heading' AS kind, 'meta' AS text, 1 AS page FROM documents
+        UNION ALL SELECT doc_id, 1, 'table',
+               'lang | ' || lang || chr(10) || 'chars | ' || n_chars, 1 FROM documents
+        UNION ALL SELECT doc_id, 2, 'heading', 'content', 2 FROM documents
+        UNION ALL SELECT doc_id, 3, 'table', 'doc | ' || text, 2 FROM documents
+    """,
+)
+def extract_xlsx_roundtrip(spark, sf_dir):
+    from docling_api_spark.sources.catalog import wrap_documents_as_xlsx_corpus
+
+    corpus = wrap_documents_as_xlsx_corpus(load(spark, sf_dir, "documents"))
+    ext = extract(corpus)
+    exploded = ext.select(F.col("doc_id").cast("long").alias("doc_id"), F.explode("spans").alias("s"))
+    return exploded.select(
+        "doc_id",
+        F.col("s.order").alias("ord"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.page").alias("page"),
+    )
+
+
+@query(
+    "extract_pptx_roundtrip", prio=20,
+    # D8 PPTX slides: title→heading, bullets→list_items, body→text,
+    # pic→image; slide number as page provenance (reference
+    # InputFormat.PPTX dispatch, services/docling_converter.py:64-67)
+    oracle="""
+        SELECT doc_id, 0 AS ord, 'heading' AS kind,
+               'Deck for document ' || doc_id AS text, '' AS media_ref, 1 AS page FROM documents
+        UNION ALL SELECT doc_id, 1, 'list_item', 'first point for ' || doc_id, '', 1 FROM documents
+        UNION ALL SELECT doc_id, 2, 'list_item', 'second point for ' || doc_id, '', 1 FROM documents
+        UNION ALL SELECT doc_id, 3, 'heading', 'Details for ' || doc_id, '', 2 FROM documents
+        UNION ALL SELECT doc_id, 4, 'text', text, '', 2 FROM documents
+        UNION ALL SELECT doc_id, 5, 'image', '', doc_id || '/s0', 2 FROM documents
+    """,
+)
+def extract_pptx_roundtrip(spark, sf_dir):
+    from docling_api_spark.sources.catalog import wrap_documents_as_pptx_corpus
+
+    corpus = wrap_documents_as_pptx_corpus(load(spark, sf_dir, "documents"))
+    ext = extract(corpus)
+    exploded = ext.select(F.col("doc_id").cast("long").alias("doc_id"), F.explode("spans").alias("s"))
+    return exploded.select(
+        "doc_id",
+        F.col("s.order").alias("ord"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.page").alias("page"),
+    )

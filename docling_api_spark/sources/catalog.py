@@ -169,3 +169,77 @@ def wrap_documents_as_docx_corpus(docs: DataFrame) -> DataFrame:
             )
         ).alias("spans"),
     )
+
+
+def wrap_documents_as_xlsx_corpus(docs: DataFrame) -> DataFrame:
+    """documents → simplified-SpreadsheetML corpus for the XLSX kernel
+    (kernels/xlsx.py): one raw span per worksheet (1-based sheet index
+    in the offset — the shard-able unit, like pdf pages).
+
+    Sheet 1 'meta': 2×2 grid (lang / chars); sheet 2 'content': 1×2
+    grid (doc | <text>). Expected spans:
+      page 1: heading('meta'),    table('lang | <lang>\\nchars | <n_chars>')
+      page 2: heading('content'), table('doc | <text>')
+    """
+    did = F.col("doc_id").cast("string")
+    sheet1 = F.concat(
+        F.lit('<sheet name="meta"><row><c>lang</c><c>'), F.col("lang"),
+        F.lit("</c></row><row><c>chars</c><c>"), F.col("n_chars").cast("string"),
+        F.lit("</c></row></sheet>"),
+    )
+    sheet2 = F.concat(
+        F.lit('<sheet name="content"><row><c>doc</c><c>'), F.col("text"),
+        F.lit("</c></row></sheet>"),
+    )
+    span = lambda txt, off: F.struct(  # noqa: E731
+        F.lit("xlsx_sheet").alias("kind"),
+        txt.alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(off).alias("offset"),
+    )
+    return docs.select(
+        did.alias("doc_id"),
+        F.lit("xlsx").alias("fmt"),
+        (F.length(sheet1) + F.length(sheet2)).cast("long").alias("size_bytes"),
+        F.array(span(sheet1, 1), span(sheet2, 2)).alias("spans"),
+    )
+
+
+def wrap_documents_as_pptx_corpus(docs: DataFrame) -> DataFrame:
+    """documents → simplified-PresentationML corpus for the PPTX kernel
+    (kernels/pptx.py): one raw span per slide (1-based slide number in
+    the offset — the shard-able unit, like pdf pages).
+
+    Slide 1: title + two bullets; slide 2: title, the document text as
+    a body paragraph, and a picture. Expected spans:
+      page 1: heading('Deck for document <id>'),
+              list_item('first point for <id>'),
+              list_item('second point for <id>')
+      page 2: heading('Details for <id>'), text(<text>),
+              image(ref='<id>/s0')
+    """
+    did = F.col("doc_id").cast("string")
+    slide1 = F.concat(
+        F.lit('<p:sp type="title"><a:p><a:t>Deck for document '), did,
+        F.lit('</a:t></a:p></p:sp><p:sp type="body">'
+              '<a:p bullet="1"><a:t>first point for '), did,
+        F.lit('</a:t></a:p><a:p bullet="1"><a:t>second point for '), did,
+        F.lit("</a:t></a:p></p:sp>"),
+    )
+    slide2 = F.concat(
+        F.lit('<p:sp type="title"><a:p><a:t>Details for '), did,
+        F.lit('</a:t></a:p></p:sp><p:sp type="body"><a:p><a:t>'), F.col("text"),
+        F.lit('</a:t></a:p></p:sp><p:pic r:embed="'), did, F.lit('/s0"/>'),
+    )
+    span = lambda txt, off: F.struct(  # noqa: E731
+        F.lit("pptx_slide").alias("kind"),
+        txt.alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(off).alias("offset"),
+    )
+    return docs.select(
+        did.alias("doc_id"),
+        F.lit("pptx").alias("fmt"),
+        (F.length(slide1) + F.length(slide2)).cast("long").alias("size_bytes"),
+        F.array(span(slide1, 1), span(slide2, 2)).alias("spans"),
+    )

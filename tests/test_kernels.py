@@ -15,6 +15,8 @@ from docling_api_spark.kernels import extract_raw_span
 from docling_api_spark.kernels.docx import extract_docx
 from docling_api_spark.kernels.html import extract_html
 from docling_api_spark.kernels.pdf import extract_pdf_page
+from docling_api_spark.kernels.pptx import extract_pptx_slide
+from docling_api_spark.kernels.xlsx import extract_xlsx_sheet
 
 FIXDIR = Path(__file__).parent / "fixtures"
 
@@ -49,6 +51,16 @@ def test_pdf_golden(fx):
 @pytest.mark.parametrize("fx", _load("docx_fixtures.json"), ids=lambda f: f["name"])
 def test_docx_golden(fx):
     assert _numbered(extract_docx(fx["input"])) == fx["expected"]
+
+
+@pytest.mark.parametrize("fx", _load("xlsx_fixtures.json"), ids=lambda f: f["name"])
+def test_xlsx_golden(fx):
+    assert _numbered(extract_xlsx_sheet(fx["input"])) == fx["expected"]
+
+
+@pytest.mark.parametrize("fx", _load("pptx_fixtures.json"), ids=lambda f: f["name"])
+def test_pptx_golden(fx):
+    assert _numbered(extract_pptx_slide(fx["input"])) == fx["expected"]
 
 
 def test_unknown_kind_passthrough():
