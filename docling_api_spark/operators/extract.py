@@ -44,12 +44,22 @@ FLAT_DDL = (
 )
 
 
+ERROR_KIND = "__error__"
+
+
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched kernel dispatch: one input row per RAW span, one
     output row per OUTPUT span. Kernel objects are plain functions —
     initialized once per Python worker at import (fixes the reference's
     converter-rebuilt-per-request anti-pattern,
-    services/docling_converter.py:78)."""
+    services/docling_converter.py:78).
+
+    A kernel exception on one raw span NEVER fails the task (at 100 TB
+    one malformed doc must not kill a partition): the span becomes a
+    single ``ERROR_KIND`` row carrying ``ExcType: message`` — the
+    quarantine path of the reference's per-document
+    status='error'/error_message record (api/routes/documents.py:59-71).
+    """
     cols = ["doc_id", "raw_offset", "local_order", "kind", "text", "media_ref", "page"]
     for pdf in batches:
         out: dict[str, list] = {c: [] for c in cols}
@@ -57,7 +67,17 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             pdf["doc_id"], pdf["raw_kind"], pdf["raw_text"], pdf["raw_offset"]
         ):
             page = int(roffset) if rkind in PAGED_KINDS else 0
-            for j, span in enumerate(extract_raw_span(rkind, rtext)):
+            try:
+                spans = extract_raw_span(rkind, rtext)
+            except Exception as e:  # noqa: BLE001 — quarantine, never fail the task
+                spans = [
+                    {
+                        "kind": ERROR_KIND,
+                        "text": f"{type(e).__name__}: {e}",
+                        "media_ref": "",
+                    }
+                ]
+            for j, span in enumerate(spans):
                 out["doc_id"].append(doc_id)
                 out["raw_offset"].append(int(roffset))
                 out["local_order"].append(j)
@@ -73,12 +93,17 @@ def extract_flat(
     *,
     max_size_bytes: int = MAX_FILE_SIZE_BYTES,
     salt_partitions: int | None = None,
+    keep_errors: bool = False,
 ) -> DataFrame:
     """corpus → flat output spans (one row per extracted span).
 
     ``salt_partitions`` sizes the salted repartition; default = session
     shuffle partitions. Pass 0 to skip the explicit repartition (lets
     AQE/input splits decide — useful for micro-benchmarks).
+
+    ``keep_errors`` keeps the ``ERROR_KIND`` quarantine rows in the
+    output (callers that want the error side-table or whole-doc
+    exclusion); by default they are filtered out.
     """
     spark = corpus.sparkSession
     if salt_partitions is None:
@@ -99,7 +124,10 @@ def extract_flat(
     if salt_partitions:
         # salted spread: pages of one oversized doc land on distinct partitions
         raw = raw.repartition(salt_partitions, F.xxhash64("doc_id", "raw_offset"))
-    return raw.mapInPandas(_extract_batches, schema=FLAT_DDL)
+    flat = raw.mapInPandas(_extract_batches, schema=FLAT_DDL)
+    if not keep_errors:
+        flat = flat.filter(F.col("kind") != ERROR_KIND)
+    return flat
 
 
 def reassemble(flat: DataFrame) -> DataFrame:
@@ -151,7 +179,10 @@ def _extract_single_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
         out_ids, out_spans = [], []
         for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
             s = spans[0]
-            res = extract_raw_span(s["kind"], s["text"])
+            try:
+                res = extract_raw_span(s["kind"], s["text"])
+            except Exception as e:  # noqa: BLE001 — quarantine, never fail the task
+                res = [{"kind": ERROR_KIND, "text": f"{type(e).__name__}: {e}", "media_ref": ""}]
             # mirror _extract_batches: paged kinds carry their page
             # number in the raw offset; other formats are pageless
             page = int(s["offset"]) if s["kind"] in PAGED_KINDS else 0
@@ -202,15 +233,47 @@ def extract(
     if salt_partitions:
         # balance only (cheap narrow rows in, no post-shuffle agg)
         single = single.repartition(salt_partitions, F.xxhash64("doc_id"))
-    # zero-output docs vanish on the reassembly path (groupBy over zero
-    # rows) — drop them here too so path choice never changes the output
+    # quarantine semantics (reference: whole document gets
+    # status='error', api/routes/documents.py:59-71): a doc with ANY
+    # errored raw span is excluded here — the error surfaces via
+    # ``extract_errors``. zero-output docs vanish on the reassembly
+    # path (groupBy over zero rows) — drop them here too so path
+    # choice never changes the output.
+    no_error = ~F.exists("spans", lambda s: s["kind"] == ERROR_KIND)
     fast = single.mapInPandas(_extract_single_batches, schema=ASSEMBLED_DDL).filter(
-        F.size("spans") > 0
+        (F.size("spans") > 0) & no_error
     )
     slow = reassemble(
-        extract_flat(multi, max_size_bytes=max_size_bytes, salt_partitions=salt_partitions)
-    )
+        extract_flat(
+            multi,
+            max_size_bytes=max_size_bytes,
+            salt_partitions=salt_partitions,
+            keep_errors=True,
+        )
+    ).filter(no_error)
     return fast.unionByName(slow)
+
+
+def extract_errors(
+    corpus: DataFrame,
+    *,
+    max_size_bytes: int = MAX_FILE_SIZE_BYTES,
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """Quarantine side-table: one row per document whose extraction
+    raised — ``(doc_id, status='error', error_message)``, the
+    reference's failed-document record (api/routes/documents.py:59-71,
+    219-227). The deterministic representative message is the MIN over
+    the doc's failed spans (stable regardless of partitioning)."""
+    flat = extract_flat(
+        corpus, max_size_bytes=max_size_bytes, salt_partitions=salt_partitions, keep_errors=True
+    )
+    return (
+        flat.filter(F.col("kind") == ERROR_KIND)
+        .groupBy("doc_id")
+        .agg(F.min("text").alias("error_message"))
+        .select("doc_id", F.lit("error").alias("status"), "error_message")
+    )
 
 
 def media_table(flat: DataFrame) -> DataFrame:

@@ -401,3 +401,52 @@ def extract_pptx_roundtrip(spark, sf_dir):
         F.col("s.media_ref").alias("media_ref"),
         F.col("s.page").alias("page"),
     )
+
+
+@query(
+    "extract_error_rows", prio=20,
+    # Per-doc error quarantine (reference records status='error' +
+    # error_message per failed document, api/routes/documents.py:59-71,
+    # 219-227): docs with a corrupt pdf page land in the quarantine
+    # table with the exception class; every clean doc still extracts —
+    # one poisoned doc never fails the batch.
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN 'error' ELSE 'ok' END AS status,
+               CASE WHEN doc_id % 10 = 0 THEN 'ValueError' ELSE '' END AS error_kind
+        FROM documents
+    """,
+)
+def extract_error_rows(spark, sf_dir):
+    from docling_api_spark.operators.extract import extract_errors
+    from docling_api_spark.sources.catalog import wrap_documents_as_pdf_corpus
+
+    corpus = wrap_documents_as_pdf_corpus(load(spark, sf_dir, "documents"))
+    # plant a malformed block (non-numeric coords) on page 2 of every
+    # 10th doc — the pdf kernel raises ValueError on it
+    poison = F.transform(
+        "spans",
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            F.when(
+                (F.col("doc_id").cast("long") % 10 == 0) & (s["offset"] == 2),
+                F.lit("BLOCK xx,0,100,10,para|corrupt"),
+            )
+            .otherwise(s["text"])
+            .alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    corpus = corpus.withColumn("spans", poison)
+    ok = extract(corpus).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.lit("ok").alias("status"),
+        F.lit("").alias("error_kind"),
+    )
+    errs = extract_errors(corpus).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "status",
+        F.split("error_message", ":").getItem(0).alias("error_kind"),
+    )
+    return ok.unionByName(errs)

@@ -107,3 +107,39 @@ def test_per_page_and_side_tables(spark):
     assert bad == 0
     # markdown render has a separator row
     assert tabs.filter(~F.col("markdown").contains("---")).count() == 0
+
+
+def test_error_quarantine_never_fails_the_task(spark):
+    """A kernel exception on one doc must not kill the batch: clean
+    docs extract normally, the poisoned doc lands in extract_errors
+    with status='error' — on BOTH physical paths (single-span fast
+    path and multi-span reassembly path)."""
+    from pyspark.sql import Row
+
+    from docling_api_spark.operators.extract import extract_errors
+
+    span = lambda kind, text, off: Row(kind=kind, text=text, media_ref="", offset=off)  # noqa: E731
+    corpus = spark.createDataFrame(
+        [
+            # clean single-span doc (fast path)
+            Row(doc_id="ok1", fmt="pdf", size_bytes=10,
+                spans=[span("pdf_page", "BLOCK 0,0,100,10,para|fine", 1)]),
+            # poisoned single-span doc (fast path)
+            Row(doc_id="bad1", fmt="pdf", size_bytes=10,
+                spans=[span("pdf_page", "BLOCK xx,0,100,10,para|corrupt", 1)]),
+            # multi-span doc with ONE poisoned page (reassembly path)
+            Row(doc_id="bad2", fmt="pdf", size_bytes=10,
+                spans=[span("pdf_page", "BLOCK 0,0,100,10,para|good page", 1),
+                       span("pdf_page", "BLOCK ,,,,|", 2)]),
+            # clean multi-span doc (reassembly path)
+            Row(doc_id="ok2", fmt="pdf", size_bytes=10,
+                spans=[span("pdf_page", "BLOCK 0,0,100,10,para|p1", 1),
+                       span("pdf_page", "BLOCK 0,0,100,10,para|p2", 2)]),
+        ]
+    )
+    out = {r["doc_id"] for r in extract(corpus, salt_partitions=2).collect()}
+    assert out == {"ok1", "ok2"}
+    errs = {r["doc_id"]: r for r in extract_errors(corpus, salt_partitions=2).collect()}
+    assert set(errs) == {"bad1", "bad2"}
+    for r in errs.values():
+        assert r["status"] == "error" and r["error_message"].startswith("ValueError")
