@@ -29,17 +29,34 @@ KERNELS = {
 
 # raw-span kinds whose raw offset is a page/sheet/slide number that must
 # flow into output-span ``page`` provenance (other kinds are pageless)
-PAGED_KINDS = frozenset({"pdf_page", "xlsx_sheet", "pptx_slide"})
+PAGED_KINDS = frozenset({"pdf_page", "pdf_page_image", "xlsx_sheet", "pptx_slide"})
 
 
-def extract_raw_span(kind: str, text: str | None, media_prefix: str = "") -> list[dict]:
+def extract_raw_span(
+    kind: str, text: str | None, media_prefix: str = "", ocr=None
+) -> list[dict]:
     """Extract one raw span; unknown kinds pass through as plain text
     (parity with the reference treating unhandled formats as text,
-    README.md multi-format list)."""
+    README.md multi-format list).
+
+    ``ocr`` (an ``OcrOptions``) gates the scanned-page path: raw spans
+    of kind ``pdf_page_image`` produce nothing unless ``do_ocr`` is on
+    (reference do_ocr toggle, services/docling_converter.py:46), and
+    ``force_full_page_ocr`` re-tags even born-digital pdf_page text
+    layers as recognition output (EasyOcrOptions force_full_page_ocr,
+    docling_converter.py:56-61)."""
+    from docling_api_spark.kernels.ocr import OcrOptions, ocr_spans, retag_ocr
+
     if text is None:
         return []
+    ocr = ocr or OcrOptions()
+    if kind == "pdf_page_image":
+        return ocr_spans(text) if ocr.do_ocr else []
     kernel = KERNELS.get(kind)
     if kernel is None:
         t = " ".join(text.split())
         return [{"kind": "text", "text": t, "media_ref": ""}] if t else []
-    return kernel(text, media_prefix=media_prefix)
+    spans = kernel(text, media_prefix=media_prefix)
+    if kind == "pdf_page" and ocr.do_ocr and ocr.force_full_page_ocr:
+        spans = retag_ocr(spans)
+    return spans

@@ -47,12 +47,13 @@ FLAT_DDL = (
 ERROR_KIND = "__error__"
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_batches_fn(ocr=None):
     """Arrow-batched kernel dispatch: one input row per RAW span, one
     output row per OUTPUT span. Kernel objects are plain functions —
     initialized once per Python worker at import (fixes the reference's
     converter-rebuilt-per-request anti-pattern,
-    services/docling_converter.py:78).
+    services/docling_converter.py:78). ``ocr`` (OcrOptions) is captured
+    in the closure and shipped to workers with it.
 
     A kernel exception on one raw span NEVER fails the task (at 100 TB
     one malformed doc must not kill a partition): the span becomes a
@@ -60,32 +61,36 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     quarantine path of the reference's per-document
     status='error'/error_message record (api/routes/documents.py:59-71).
     """
-    cols = ["doc_id", "raw_offset", "local_order", "kind", "text", "media_ref", "page"]
-    for pdf in batches:
-        out: dict[str, list] = {c: [] for c in cols}
-        for doc_id, rkind, rtext, roffset in zip(
-            pdf["doc_id"], pdf["raw_kind"], pdf["raw_text"], pdf["raw_offset"]
-        ):
-            page = int(roffset) if rkind in PAGED_KINDS else 0
-            try:
-                spans = extract_raw_span(rkind, rtext)
-            except Exception as e:  # noqa: BLE001 — quarantine, never fail the task
-                spans = [
-                    {
-                        "kind": ERROR_KIND,
-                        "text": f"{type(e).__name__}: {e}",
-                        "media_ref": "",
-                    }
-                ]
-            for j, span in enumerate(spans):
-                out["doc_id"].append(doc_id)
-                out["raw_offset"].append(int(roffset))
-                out["local_order"].append(j)
-                out["kind"].append(span["kind"])
-                out["text"].append(span["text"])
-                out["media_ref"].append(span["media_ref"])
-                out["page"].append(page)
-        yield pd.DataFrame(out, columns=cols)
+
+    def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "raw_offset", "local_order", "kind", "text", "media_ref", "page"]
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in cols}
+            for doc_id, rkind, rtext, roffset in zip(
+                pdf["doc_id"], pdf["raw_kind"], pdf["raw_text"], pdf["raw_offset"]
+            ):
+                page = int(roffset) if rkind in PAGED_KINDS else 0
+                try:
+                    spans = extract_raw_span(rkind, rtext, ocr=ocr)
+                except Exception as e:  # noqa: BLE001 — quarantine, never fail the task
+                    spans = [
+                        {
+                            "kind": ERROR_KIND,
+                            "text": f"{type(e).__name__}: {e}",
+                            "media_ref": "",
+                        }
+                    ]
+                for j, span in enumerate(spans):
+                    out["doc_id"].append(doc_id)
+                    out["raw_offset"].append(int(roffset))
+                    out["local_order"].append(j)
+                    out["kind"].append(span["kind"])
+                    out["text"].append(span["text"])
+                    out["media_ref"].append(span["media_ref"])
+                    out["page"].append(page)
+            yield pd.DataFrame(out, columns=cols)
+
+    return _extract_batches
 
 
 def extract_flat(
@@ -94,6 +99,7 @@ def extract_flat(
     max_size_bytes: int = MAX_FILE_SIZE_BYTES,
     salt_partitions: int | None = None,
     keep_errors: bool = False,
+    ocr=None,
 ) -> DataFrame:
     """corpus → flat output spans (one row per extracted span).
 
@@ -124,7 +130,7 @@ def extract_flat(
     if salt_partitions:
         # salted spread: pages of one oversized doc land on distinct partitions
         raw = raw.repartition(salt_partitions, F.xxhash64("doc_id", "raw_offset"))
-    flat = raw.mapInPandas(_extract_batches, schema=FLAT_DDL)
+    flat = raw.mapInPandas(_extract_batches_fn(ocr), schema=FLAT_DDL)
     if not keep_errors:
         flat = flat.filter(F.col("kind") != ERROR_KIND)
     return flat
@@ -172,34 +178,40 @@ ASSEMBLED_DDL = (
 )
 
 
-def _extract_single_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_single_batches_fn(ocr=None):
     """Fast path: one input row = one single-raw-span doc = one output
     row with the complete assembled spans array — no reassembly."""
-    for pdf in batches:
-        out_ids, out_spans = [], []
-        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-            s = spans[0]
-            try:
-                res = extract_raw_span(s["kind"], s["text"])
-            except Exception as e:  # noqa: BLE001 — quarantine, never fail the task
-                res = [{"kind": ERROR_KIND, "text": f"{type(e).__name__}: {e}", "media_ref": ""}]
-            # mirror _extract_batches: paged kinds carry their page
-            # number in the raw offset; other formats are pageless
-            page = int(s["offset"]) if s["kind"] in PAGED_KINDS else 0
-            out_ids.append(doc_id)
-            out_spans.append(
-                [
-                    {
-                        "kind": r["kind"],
-                        "text": r["text"],
-                        "media_ref": r["media_ref"],
-                        "order": i,
-                        "page": page,
-                    }
-                    for i, r in enumerate(res)
-                ]
-            )
-        yield pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
+
+    def _extract_single_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_spans = [], []
+            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+                s = spans[0]
+                try:
+                    res = extract_raw_span(s["kind"], s["text"], ocr=ocr)
+                except Exception as e:  # noqa: BLE001 — quarantine, never fail the task
+                    res = [
+                        {"kind": ERROR_KIND, "text": f"{type(e).__name__}: {e}", "media_ref": ""}
+                    ]
+                # mirror _extract_batches: paged kinds carry their page
+                # number in the raw offset; other formats are pageless
+                page = int(s["offset"]) if s["kind"] in PAGED_KINDS else 0
+                out_ids.append(doc_id)
+                out_spans.append(
+                    [
+                        {
+                            "kind": r["kind"],
+                            "text": r["text"],
+                            "media_ref": r["media_ref"],
+                            "order": i,
+                            "page": page,
+                        }
+                        for i, r in enumerate(res)
+                    ]
+                )
+            yield pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
+
+    return _extract_single_batches
 
 
 def extract(
@@ -207,6 +219,7 @@ def extract(
     *,
     max_size_bytes: int = MAX_FILE_SIZE_BYTES,
     salt_partitions: int | None = None,
+    ocr=None,
 ) -> DataFrame:
     """corpus → extracted(doc_id, spans): the full pipeline.
 
@@ -240,7 +253,7 @@ def extract(
     # path (groupBy over zero rows) — drop them here too so path
     # choice never changes the output.
     no_error = ~F.exists("spans", lambda s: s["kind"] == ERROR_KIND)
-    fast = single.mapInPandas(_extract_single_batches, schema=ASSEMBLED_DDL).filter(
+    fast = single.mapInPandas(_extract_single_batches_fn(ocr), schema=ASSEMBLED_DDL).filter(
         (F.size("spans") > 0) & no_error
     )
     slow = reassemble(
@@ -249,6 +262,7 @@ def extract(
             max_size_bytes=max_size_bytes,
             salt_partitions=salt_partitions,
             keep_errors=True,
+            ocr=ocr,
         )
     ).filter(no_error)
     return fast.unionByName(slow)
@@ -259,6 +273,7 @@ def extract_errors(
     *,
     max_size_bytes: int = MAX_FILE_SIZE_BYTES,
     salt_partitions: int | None = None,
+    ocr=None,
 ) -> DataFrame:
     """Quarantine side-table: one row per document whose extraction
     raised — ``(doc_id, status='error', error_message)``, the
@@ -266,7 +281,11 @@ def extract_errors(
     219-227). The deterministic representative message is the MIN over
     the doc's failed spans (stable regardless of partitioning)."""
     flat = extract_flat(
-        corpus, max_size_bytes=max_size_bytes, salt_partitions=salt_partitions, keep_errors=True
+        corpus,
+        max_size_bytes=max_size_bytes,
+        salt_partitions=salt_partitions,
+        keep_errors=True,
+        ocr=ocr,
     )
     return (
         flat.filter(F.col("kind") == ERROR_KIND)

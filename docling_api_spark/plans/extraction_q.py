@@ -450,3 +450,41 @@ def extract_error_rows(spark, sf_dir):
         F.split("error_message", ":").getItem(0).alias("error_kind"),
     )
     return ok.unionByName(errs)
+
+
+@query(
+    "ocr_dispatch", prio=20,
+    # D1 OCR toggle semantics (reference do_ocr / EasyOcrOptions /
+    # force_full_page_ocr, services/docling_converter.py:46,56-61):
+    # same corpus extracted twice — with OCR on, the scanned page
+    # yields an ocr_text span (provenance in the kind vocabulary);
+    # with OCR off it contributes nothing.
+    oracle="""
+        SELECT doc_id, 'on' AS mode, 0 AS ord, 'heading' AS kind,
+               'Heading for document ' || doc_id AS text, 1 AS page FROM documents
+        UNION ALL SELECT doc_id, 'on', 1, 'ocr_text', text, 2 FROM documents
+        UNION ALL SELECT doc_id, 'off', 0, 'heading',
+               'Heading for document ' || doc_id, 1 FROM documents
+    """,
+)
+def ocr_dispatch(spark, sf_dir):
+    from docling_api_spark.kernels.ocr import OcrOptions
+    from docling_api_spark.sources.catalog import wrap_documents_as_scanned_corpus
+
+    corpus = wrap_documents_as_scanned_corpus(load(spark, sf_dir, "documents"))
+
+    def leg(mode, ocr):
+        ext = extract(corpus, ocr=ocr)
+        exploded = ext.select(
+            F.col("doc_id").cast("long").alias("doc_id"), F.explode("spans").alias("s")
+        )
+        return exploded.select(
+            "doc_id",
+            F.lit(mode).alias("mode"),
+            F.col("s.order").alias("ord"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.page").alias("page"),
+        )
+
+    return leg("on", OcrOptions(do_ocr=True)).unionByName(leg("off", OcrOptions(do_ocr=False)))

@@ -243,3 +243,27 @@ def wrap_documents_as_pptx_corpus(docs: DataFrame) -> DataFrame:
         (F.length(slide1) + F.length(slide2)).cast("long").alias("size_bytes"),
         F.array(span(slide1, 1), span(slide2, 2)).alias("spans"),
     )
+
+
+def wrap_documents_as_scanned_corpus(docs: DataFrame) -> DataFrame:
+    """documents → mixed born-digital + scanned corpus for the OCR
+    dispatch (kernels/ocr.py): page 1 is a normal pdf_page text layer
+    (one heading block), page 2 is a ``pdf_page_image`` scanned page
+    whose synthetic payload the stub OCR provider recognizes as the
+    document text. With do_ocr off, page 2 contributes nothing.
+    """
+    did = F.col("doc_id").cast("string")
+    page1 = F.concat(F.lit("BLOCK 0,0,100,10,heading|Heading for document "), did)
+    page2 = F.concat(F.lit("SCAN page 2 of document "), did, F.lit("\nLINE "), F.col("text"))
+    span = lambda kind, txt, off: F.struct(  # noqa: E731
+        F.lit(kind).alias("kind"),
+        txt.alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(off).alias("offset"),
+    )
+    return docs.select(
+        did.alias("doc_id"),
+        F.lit("pdf").alias("fmt"),
+        (F.length(page1) + F.length(page2)).cast("long").alias("size_bytes"),
+        F.array(span("pdf_page", page1, 1), span("pdf_page_image", page2, 2)).alias("spans"),
+    )

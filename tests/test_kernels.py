@@ -99,3 +99,45 @@ def test_boilerplate_absent():
         assert "internal header" not in joined
         assert "footer text" not in joined
         assert "Sitemap" not in joined and "Privacy" not in joined
+
+
+class TestOcrDispatch:
+    def test_scanned_page_off_by_default(self):
+        assert extract_raw_span("pdf_page_image", "SCAN x\nLINE hello") == []
+
+    def test_scanned_page_recognized_when_on(self):
+        from docling_api_spark.kernels.ocr import OcrOptions
+
+        spans = extract_raw_span(
+            "pdf_page_image", "SCAN x\nLINE  hello   world \nLINE \nLINE second",
+            ocr=OcrOptions(do_ocr=True),
+        )
+        assert spans == [
+            {"kind": "ocr_text", "text": "hello world", "media_ref": ""},
+            {"kind": "ocr_text", "text": "second", "media_ref": ""},
+        ]
+
+    def test_force_full_page_ocr_retags_text_layer(self):
+        from docling_api_spark.kernels.ocr import OcrOptions
+
+        page = "BLOCK 0,0,100,10,heading|Title\nBLOCK 0,20,100,40,para|Body\nBLOCK 0,50,100,60,figure|m0"
+        normal = extract_raw_span("pdf_page", page, ocr=OcrOptions(do_ocr=True))
+        assert [s["kind"] for s in normal] == ["heading", "text", "image"]
+        forced = extract_raw_span(
+            "pdf_page", page, ocr=OcrOptions(do_ocr=True, force_full_page_ocr=True)
+        )
+        assert [s["kind"] for s in forced] == ["ocr_text", "ocr_text", "image"]
+        assert [s["text"] for s in forced] == [s["text"] for s in normal]
+
+    def test_force_without_do_ocr_is_inert(self):
+        from docling_api_spark.kernels.ocr import OcrOptions
+
+        page = "BLOCK 0,0,100,10,para|Body"
+        spans = extract_raw_span("pdf_page", page, ocr=OcrOptions(force_full_page_ocr=True))
+        assert [s["kind"] for s in spans] == ["text"]
+
+    def test_real_provider_is_explicit_integration_point(self):
+        from docling_api_spark.kernels.ocr import RealOcrProvider
+
+        with pytest.raises(NotImplementedError):
+            RealOcrProvider().recognize("SCAN x")
