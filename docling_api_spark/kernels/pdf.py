@@ -123,7 +123,17 @@ def extract_pdf_page(page_text: str, media_prefix: str = "") -> list[dict]:
         if kind == "table":
             spans.append({"kind": "table", "text": _render_table(b["payload"]), "media_ref": ""})
         elif kind == "image":
-            spans.append({"kind": "image", "text": "", "media_ref": (media_prefix + payload) if payload else ""})
+            # figure geometry survives as bbox provenance (reference
+            # ImageInfo.bbox, core/schemas.py:26)
+            bbox = f"{b['x0']:g},{b['y0']:g},{b['x1']:g},{b['y1']:g}"
+            spans.append(
+                {
+                    "kind": "image",
+                    "text": "",
+                    "media_ref": (media_prefix + payload) if payload else "",
+                    "bbox": bbox,
+                }
+            )
         else:
             if payload:
                 spans.append({"kind": kind, "text": payload, "media_ref": ""})

@@ -40,7 +40,7 @@ from docling_api_spark.kernels import PAGED_KINDS, extract_raw_span
 
 FLAT_DDL = (
     "doc_id string, raw_offset int, local_order int, "
-    "kind string, text string, media_ref string, page int"
+    "kind string, text string, media_ref string, page int, bbox string"
 )
 
 
@@ -63,7 +63,7 @@ def _extract_batches_fn(ocr=None):
     """
 
     def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["doc_id", "raw_offset", "local_order", "kind", "text", "media_ref", "page"]
+        cols = ["doc_id", "raw_offset", "local_order", "kind", "text", "media_ref", "page", "bbox"]
         for pdf in batches:
             out: dict[str, list] = {c: [] for c in cols}
             for doc_id, rkind, rtext, roffset in zip(
@@ -88,6 +88,7 @@ def _extract_batches_fn(ocr=None):
                     out["text"].append(span["text"])
                     out["media_ref"].append(span["media_ref"])
                     out["page"].append(page)
+                    out["bbox"].append(span.get("bbox"))
             yield pd.DataFrame(out, columns=cols)
 
     return _extract_batches
@@ -314,6 +315,7 @@ def media_table(flat: DataFrame) -> DataFrame:
             "raw_offset",
             "local_order",
             F.col("page").alias("page_number"),
+            "bbox",
             F.when(F.col("next_kind") == "caption", F.col("next_text")).alias("caption"),
         )
     )
@@ -324,6 +326,7 @@ def media_table(flat: DataFrame) -> DataFrame:
         "media_index",
         "page_number",
         F.lit("embedded").alias("media_type"),
+        "bbox",
         "caption",
     )
 

@@ -118,6 +118,7 @@ def extract_rich_spans(spark, sf_dir):
     oracle="""
         SELECT doc_id, doc_id || '/m0' AS media_ref, 0 AS media_index,
                0 AS page_number, 'embedded' AS media_type,
+               CAST(NULL AS VARCHAR) AS bbox,
                'Figure caption ' || doc_id AS caption
         FROM documents
     """,
@@ -131,6 +132,7 @@ def extract_media_sidecar(spark, sf_dir):
         "media_index",
         "page_number",
         "media_type",
+        "bbox",
         "caption",
     )
 
@@ -488,3 +490,31 @@ def ocr_dispatch(spark, sf_dir):
         )
 
     return leg("on", OcrOptions(do_ocr=True)).unionByName(leg("off", OcrOptions(do_ocr=False)))
+
+
+@query(
+    "pdf_media_bbox", prio=20,
+    # D5 image bbox provenance (reference ImageInfo.bbox,
+    # core/schemas.py:26): the figure block's page geometry survives
+    # into the media side-table, caption attached from the block below
+    oracle="""
+        SELECT doc_id, doc_id || '/f0' AS media_ref, 0 AS media_index,
+               1 AS page_number,
+               (doc_id % 40) || ',20,60,50' AS bbox,
+               'Figure caption ' || doc_id AS caption
+        FROM documents
+    """,
+)
+def pdf_media_bbox(spark, sf_dir):
+    from docling_api_spark.sources.catalog import wrap_documents_as_pdf_figure_corpus
+
+    corpus = wrap_documents_as_pdf_figure_corpus(load(spark, sf_dir, "documents"))
+    flat = extract_flat(corpus)
+    return media_table(flat).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "media_ref",
+        "media_index",
+        "page_number",
+        "bbox",
+        "caption",
+    )

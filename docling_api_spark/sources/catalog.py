@@ -267,3 +267,31 @@ def wrap_documents_as_scanned_corpus(docs: DataFrame) -> DataFrame:
         (F.length(page1) + F.length(page2)).cast("long").alias("size_bytes"),
         F.array(span("pdf_page", page1, 1), span("pdf_page_image", page2, 2)).alias("spans"),
     )
+
+
+def wrap_documents_as_pdf_figure_corpus(docs: DataFrame) -> DataFrame:
+    """documents → single-page PDF corpus with a positioned figure +
+    caption, for bbox provenance (reference ImageInfo.bbox,
+    core/schemas.py:26): heading block, figure block at a geometry
+    derived from the doc id, caption block below it.
+    """
+    did = F.col("doc_id").cast("string")
+    x0 = (F.col("doc_id").cast("long") % 40).cast("string")
+    page = F.concat(
+        F.lit("BLOCK 0,0,100,10,heading|Heading for document "), did, F.lit("\n"),
+        F.lit("BLOCK "), x0, F.lit(",20,60,50,figure|"), did, F.lit("/f0\n"),
+        F.lit("BLOCK "), x0, F.lit(",52,60,58,caption|Figure caption "), did,
+    )
+    return docs.select(
+        did.alias("doc_id"),
+        F.lit("pdf").alias("fmt"),
+        F.length(page).cast("long").alias("size_bytes"),
+        F.array(
+            F.struct(
+                F.lit("pdf_page").alias("kind"),
+                page.alias("text"),
+                F.lit("").alias("media_ref"),
+                F.lit(1).alias("offset"),
+            )
+        ).alias("spans"),
+    )
