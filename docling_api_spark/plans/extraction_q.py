@@ -518,3 +518,25 @@ def pdf_media_bbox(spark, sf_dir):
         "bbox",
         "caption",
     )
+
+
+@query(
+    "render_json_export", prio=20,
+    # S5 json export leg (export_to_dict parity,
+    # services/docling_converter.py:94-97): the serialized spans array,
+    # byte-exact against a DuckDB-constructed twin of Spark's to_json
+    # (struct field order kind,text,media_ref,order,page; no spaces)
+    oracle="""
+        SELECT doc_id,
+               '[{"kind":"text","text":"' || text ||
+               '","media_ref":"","order":0,"page":0}]' AS content
+        FROM documents
+    """,
+)
+def render_json_export(spark, sf_dir):
+    from docling_api_spark.operators.render import rendered
+
+    corpus = wrap_documents_as_corpus(load(spark, sf_dir, "documents"))
+    ext = extract(corpus)
+    out = rendered(ext, "json")
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "content")
