@@ -50,7 +50,10 @@ def extract_raw_span(
     if text is None:
         return []
     ocr = ocr or OcrOptions()
-    if kind == "pdf_page_image":
+    if kind in ("pdf_page_image", "image_doc"):
+        # scanned pdf pages and standalone image documents (the
+        # reference's IMAGE input format, README.md:7) share the OCR
+        # path: text only exists if recognition runs
         return ocr_spans(text) if ocr.do_ocr else []
     kernel = KERNELS.get(kind)
     if kernel is None:

@@ -141,3 +141,12 @@ class TestOcrDispatch:
 
         with pytest.raises(NotImplementedError):
             RealOcrProvider().recognize("SCAN x")
+
+    def test_image_doc_format_shares_ocr_path(self):
+        from docling_api_spark.kernels.ocr import OcrOptions
+
+        payload = "SCAN photo.png\nLINE recognized words"
+        assert extract_raw_span("image_doc", payload) == []
+        assert extract_raw_span("image_doc", payload, ocr=OcrOptions(do_ocr=True)) == [
+            {"kind": "ocr_text", "text": "recognized words", "media_ref": ""}
+        ]
