@@ -185,11 +185,13 @@ def embedding_dup_pairs(
     → exact cosine ≥ threshold. Identical vectors always share a
     bucket, so exact-dup recall is 1.0 by construction."""
     planes = srp_planes(dim, n_bits)
+    # persist: the bucket self-join reads this tree from both sides —
+    # without the cache each side recomputes all n_bits projections
     b = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         srp_signature(F.col(vec_col), planes).alias("bucket"),
-    )
+    ).persist()
     left = b.alias("l")
     right = b.alias("r")
     pairs = left.join(

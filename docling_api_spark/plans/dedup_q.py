@@ -133,7 +133,13 @@ def simhash_dup_pairs(spark, sf_dir):
     hashed = corpus.select(
         "doc_id", F.transform(tokens(F.col("text")), md5_long60).alias("th")
     )
-    sig = hashed.select("doc_id", simhash_from_hashes(F.col("th"), bits=60).alias("sig"))
+    # persist the signatures: the banded self-join reads this tree from
+    # BOTH sides, and without the cache each side re-hashes every token
+    # (the md5 pass is ~all of the query's CPU; same pattern as the
+    # minhash shingle table)
+    sig = hashed.select(
+        "doc_id", simhash_from_hashes(F.col("th"), bits=60).alias("sig")
+    ).persist()
     # pigeonhole bands: r=3 < 4 bands → every true pair collides somewhere
     bands = sig.select(
         "doc_id",

@@ -148,7 +148,9 @@ def doc_embedding_dup_pairs(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     corpus = base.unionByName(planted)
-    vecs = corpus.select("doc_id", hash_counts_udf(384)(F.col("text")).alias("vec"))
+    # persist: both sides of the (capped, by-design) cartesian read
+    # this tree — cache so the embedder UDF runs once per doc
+    vecs = corpus.select("doc_id", hash_counts_udf(384)(F.col("text")).alias("vec")).persist()
     a = vecs.select(F.col("doc_id").alias("a"), F.col("vec").alias("va"))
     b = vecs.select(F.col("doc_id").alias("b"), F.col("vec").alias("vb"))
     pairs = a.join(b, F.col("a") < F.col("b")).select(
