@@ -605,3 +605,26 @@ def windowed_event_counts(spark, sf_dir):
             "value_sum",
         )
     )
+
+
+@query(
+    "cube_status_priority", prio=20,
+    # grouping-sets breadth beyond ROLLUP: full CUBE with grouping-id
+    # disambiguation (engine extension; same A-family shape as
+    # rollup_status_priority)
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING(o_orderstatus, o_orderpriority) AS gid,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n"),
+        _dsum("o_totalprice").alias("total"),
+    )
