@@ -628,3 +628,29 @@ def cube_status_priority(spark, sf_dir):
         F.count("*").alias("n"),
         _dsum("o_totalprice").alias("total"),
     )
+
+
+@query(
+    "event_timestamp_parts", prio=20,
+    # F12 timestamp handling (reference stamps created_at/updated_at on
+    # every row, core/models.py): ISO formatting + calendar parts, all
+    # wall-clock on the NTZ column so the (driver-controlled) session
+    # timezone cannot shift values
+    oracle="""
+        SELECT event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS iso_ts,
+               strftime(ts, '%Y-%m-%d') AS day,
+               CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+               CAST(dayofweek(ts) AS INT) AS dow
+        FROM events WHERE event_id < 500
+    """,
+)
+def event_timestamp_parts(spark, sf_dir):
+    e = load(spark, sf_dir, "events")
+    return e.filter(F.col("event_id") < 500).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("iso_ts"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hr"),
+        (F.dayofweek("ts") - 1).alias("dow"),
+    )

@@ -77,6 +77,7 @@ TZ_SENSITIVE = [
     "windowed_event_counts",
     "sessionize_events",
     "history_stats",
+    "event_timestamp_parts",
 ]
 
 
