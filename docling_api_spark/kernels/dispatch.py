@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from docling_api_spark.kernels.docx import extract_docx
 from docling_api_spark.kernels.html import extract_html
+from docling_api_spark.kernels.ocr import OcrOptions, ocr_spans, retag_ocr
 from docling_api_spark.kernels.pdf import extract_pdf_page
 from docling_api_spark.kernels.pptx import extract_pptx_slide
 from docling_api_spark.kernels.xlsx import extract_xlsx_sheet
@@ -45,8 +46,6 @@ def extract_raw_span(
     ``force_full_page_ocr`` re-tags even born-digital pdf_page text
     layers as recognition output (EasyOcrOptions force_full_page_ocr,
     docling_converter.py:56-61)."""
-    from docling_api_spark.kernels.ocr import OcrOptions, ocr_spans, retag_ocr
-
     if text is None:
         return []
     ocr = ocr or OcrOptions()
