@@ -157,6 +157,38 @@ def _spin(seconds: float) -> int:
     return n
 
 
+def _membw_calibration(width: int, seconds: float = 2.0) -> float:
+    """Aggregate memory-COPY bandwidth (bytes/s) at ``width``
+    processes (large numpy block copies — a STREAM-style probe).
+
+    Shuffle-heavy stages (the PDF shard path's salt + reassembly
+    exchanges) are bound by memory bandwidth, which on ONE box is a
+    shared resource: 4N threads get nowhere near 4N× the bandwidth,
+    whereas 4N executors on a real cluster bring 4N separate memory
+    buses. This probe quantifies the box's bandwidth ceiling per
+    width so shuffle-path scaling can be judged against the hardware
+    that actually limits it (the CPU spin probe alone cannot see
+    this ceiling)."""
+    import multiprocessing as mp
+
+    with mp.Pool(width) as pool:
+        counts = pool.map(_copy_spin, [seconds] * width)
+    return float(sum(counts))
+
+
+def _copy_spin(seconds: float) -> int:
+    import numpy as np
+
+    a = np.ones(32 * 1024 * 1024 // 8)  # 32 MB, beyond L2/L3 slice
+    b = np.empty_like(a)
+    t0 = time.perf_counter()
+    n_bytes = 0
+    while time.perf_counter() - t0 < seconds:
+        np.copyto(b, a)
+        n_bytes += a.nbytes
+    return n_bytes
+
+
 def _scaling_child(sf_dir: str, cpus: str, repl: int) -> dict:
     """Timed flagship extraction over a ×repl replicated corpus (large
     enough that kernel compute dominates scheduler overhead).
@@ -190,6 +222,7 @@ def _scaling_child(sf_dir: str, cpus: str, repl: int) -> dict:
     # calibrate BEFORE the JVM exists — a live/shutting-down JVM's
     # threads pollute the spin measurement
     calibration = _cpu_calibration(int(cpus))
+    membw = _membw_calibration(int(cpus))
 
     extra = {
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
@@ -244,6 +277,7 @@ def _scaling_child(sf_dir: str, cpus: str, repl: int) -> dict:
         "docs_per_sec": round(n_docs / elapsed, 1),
         "mb_per_sec": round(n_bytes / 1e6 / elapsed, 2),
         "cpu_calibration": calibration,
+        "membw_calibration_gbps": round(membw / 1e9, 2),
     }
 
 
@@ -275,7 +309,12 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
     # the box's own ceiling for the same width jump (turbo/SMT):
     # embarrassingly parallel pure-CPU work measures this much speedup
     hw_speedup = hi["cpu_calibration"] / lo["cpu_calibration"]
-    return {
+    membw_speedup = (
+        hi["membw_calibration_gbps"] / lo["membw_calibration_gbps"]
+        if lo.get("membw_calibration_gbps")
+        else None
+    )
+    out = {
         "levels": results,
         "speedup": round(speedup, 3),
         "ideal": ideal,
@@ -283,6 +322,14 @@ def run_scaling(sf_dir: str, levels=None) -> dict:
         "hardware_ceiling_speedup": round(hw_speedup, 3),
         "scaling_efficiency_vs_hardware": round(speedup / hw_speedup, 3),
     }
+    if membw_speedup is not None:
+        # shuffle-heavy paths are bandwidth-bound: on one box 4N threads
+        # share one memory bus (a real 4N-executor cluster brings 4N
+        # buses), so the bandwidth ceiling is the honest comparator for
+        # the shard path
+        out["membw_ceiling_speedup"] = round(membw_speedup, 3)
+        out["scaling_efficiency_vs_membw"] = round(speedup / membw_speedup, 3)
+    return out
 
 
 def run_targets(cpus: str) -> dict:
