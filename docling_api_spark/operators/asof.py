@@ -1,0 +1,123 @@
+"""As-of join and connected-components clustering — operators Spark's
+DataFrame API lacks natively, built as compositions of existing ops
+(the engine-extension class SURVEY.md §2 anticipates for the 100 TB
+tier; the reference's SQL surface has neither).
+
+**As-of join** (``asof_join``): for every left row, the single most
+recent right row of the same key at-or-before the left timestamp.
+Implemented with the union + running-last-value trick:
+
+    union(tagged right, tagged left)
+      → window last_value(right cols, ignorenulls) over
+        (partition by key order by ts, tie rows unbounded preceding)
+      → keep left rows
+
+ONE shuffle (the window partition), no range-explosion join, no
+per-key skew beyond the key's own row count — the scalable shape at
+10^12 events (a naive ``l.ts >= r.ts`` range join explodes to the
+pairwise product inside each key).
+
+**Connected components** (``connected_components``): min-label
+propagation over an undirected edge list — the clustering step a
+production dedup cascade runs AFTER pair generation (pairs → clusters
+→ keep one representative per cluster). Each iteration is one
+join + one min-aggregation and labels travel one hop, so ``max_iter``
+must be ≥ the component diameter (dedup clusters are shallow — near-dup
+graphs are cliques-of-copies, diameter 1-2). At 10^12 nodes each
+iteration is a pair of key-partitioned shuffles; the published
+large-star/small-star optimization (O(log n) rounds on any topology)
+drops in here unchanged if deep chains ever appear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Left as-of-backward join: each ``left`` row gains the columns of
+    the latest ``right`` row with the same ``key`` and
+    ``right_ts <= left_ts`` (NULLs if none). Ties on the timestamp
+    break toward the greater right-side first column (deterministic).
+
+    ``tolerance_seconds`` drops matches older than the window (the
+    pandas ``merge_asof`` tolerance semantic).
+    """
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("__payload"),
+        *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
+    )
+    l = left.select(  # noqa: E741
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    # right rows sort before left rows at equal ts (__side 0 < 1), so an
+    # exactly-simultaneous right row IS visible to the left row (<=);
+    # equal-(ts,side) right rows tie-break to the greatest payload
+    # (ascending sort + running last() = max)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side", "__payload")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = r.unionByName(l).withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    if tolerance_seconds is not None:
+        w2 = w
+        unioned = unioned.withColumn(
+            "__match_ts",
+            F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True).over(w2),
+        ).withColumn(
+            "__match",
+            F.when(
+                F.col("__match_ts")
+                >= F.col("__ts") - F.make_interval(secs=F.lit(tolerance_seconds)),
+                F.col("__match"),
+            ),
+        )
+    out = unioned.filter(F.col("__side") == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[F.col("__match")[c].alias(c) for c in right_cols],
+    )
+    return out
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 5,
+) -> DataFrame:
+    """``nodes(id)`` + undirected ``edges(src, dst)`` →
+    ``(id, label)`` with label = MIN node id of the connected
+    component. ``max_iter`` bounds propagation rounds (component
+    diameter ≤ 2^max_iter is fully labeled)."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    lab = nodes.select(F.col("id"), F.col("id").alias("label"))
+    for _ in range(max_iter):
+        prop = (
+            sym.join(lab, sym.src == lab.id)
+            .select(F.col("dst").alias("id"), "label")
+            .unionByName(lab)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        lab = prop.persist()
+    return lab

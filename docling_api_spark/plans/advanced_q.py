@@ -1,0 +1,192 @@
+"""Advanced relational / pipeline operators (engine extensions the
+100 TB tier needs beyond the reference's SQL surface): as-of join,
+range join, heavy-hitters vocabulary, running-total windows, and
+connected-components dedup clustering.
+
+Each is a Catalyst composition with an exact DuckDB oracle; the as-of
+oracle uses the same union+window formulation (it IS the semantic
+definition with explicit tie-breaks), the clustering oracle is a
+recursive-CTE transitive closure (ground truth, not a transliteration
+of the iterative Spark algorithm).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docling_api_spark.plans import _sql as S
+from docling_api_spark.plans.registry import query
+from docling_api_spark.sources.catalog import load
+
+_TOKS = S.toks("text")
+
+
+@query(
+    "asof_click_attribution", prio=20,
+    # as-of backward join (pandas merge_asof / kdb aj semantics): every
+    # click attributed to the user's most recent view at-or-before it.
+    # Oracle = the same union+running-last-value construction (the
+    # semantic definition, with side/event_id tie-breaks made explicit).
+    oracle="""
+        WITH u AS (
+            SELECT user_id, ts, 0 AS side, event_id AS v_id,
+                   CAST(NULL AS BIGINT) AS c_id
+            FROM events WHERE event_type = 'view'
+            UNION ALL
+            SELECT user_id, ts, 1, NULL, event_id
+            FROM events WHERE event_type = 'click'
+        ),
+        m AS (
+            SELECT c_id, user_id,
+                   LAST_VALUE(v_id IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, side, v_id
+                       ROWS UNBOUNDED PRECEDING) AS view_id,
+                   side
+            FROM u
+        )
+        SELECT c_id AS click_id, user_id, view_id FROM m WHERE side = 1
+    """,
+)
+def asof_click_attribution(spark, sf_dir):
+    from docling_api_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts")
+    )
+    out = asof_join(
+        clicks, views, key="user_id", left_ts="ts", right_ts="v_ts", right_cols=["view_id"]
+    )
+    return out.select("click_id", "user_id", "view_id")
+
+
+@query(
+    "range_join_shipments", prio=20,
+    # range (interval) join: lineitems shipped inside each promo
+    # order's 7-day window. Small interval side broadcast — the
+    # scalable plan when ranges are few; banded-key prejoin when not.
+    oracle="""
+        SELECT o.o_orderkey,
+               COUNT(l.l_orderkey) AS n_shipped
+        FROM orders o LEFT JOIN lineitem l
+          ON l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        WHERE o.o_orderkey < 20
+        GROUP BY 1
+    """,
+)
+def range_join_shipments(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 20)
+    li = load(spark, sf_dir, "lineitem")
+    cond = (F.col("l_shipdate") >= F.col("o_orderdate")) & (
+        F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")
+    )
+    joined = F.broadcast(o).join(li, cond, "left")
+    return joined.groupBy("o_orderkey").agg(F.count("l_orderkey").alias("n_shipped"))
+
+
+@query(
+    "vocab_heavy_hitters", prio=20,
+    # global token frequencies, top-20 (training-data vocabulary stats;
+    # partial aggregation makes this one map-side-combined shuffle of
+    # the DISTINCT token space, not the token stream)
+    oracle=f"""
+        WITH t AS (SELECT unnest({_TOKS}) AS tok FROM documents)
+        SELECT tok, COUNT(*) AS n
+        FROM t GROUP BY tok
+        ORDER BY n DESC, tok
+        LIMIT 20
+    """,
+)
+def vocab_heavy_hitters(spark, sf_dir):
+    from docling_api_spark.functions.hashing import tokens
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(20)
+    )
+
+
+@query(
+    "running_total_window", prio=20,
+    # cumulative per-customer revenue (running-total window; decimal
+    # accumulation so both engines sum exactly regardless of order)
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_total
+        FROM orders WHERE o_custkey < 100
+    """,
+)
+def running_total_window(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w), 2)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@query(
+    "dedup_clusters", prio=20,
+    # pairs → clusters: connected components over the exact-duplicate
+    # relation, label = min doc_id of the component (the survivor a
+    # production dedup cascade keeps). Oracle = recursive-CTE
+    # transitive closure (semantic ground truth).
+    oracle=f"""
+        WITH RECURSIVE {S.DUP_CORPUS_CTE.strip()},
+        e AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM dup_corpus a JOIN dup_corpus b
+              ON a.text = b.text AND a.doc_id < b.doc_id
+        ),
+        sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        reach(a, b) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+        )
+        SELECT c.doc_id,
+               LEAST(c.doc_id, COALESCE(MIN(r.b), c.doc_id)) AS cluster,
+               (LEAST(c.doc_id, COALESCE(MIN(r.b), c.doc_id)) = c.doc_id) AS is_rep
+        FROM dup_corpus c LEFT JOIN reach r ON r.a = c.doc_id
+        GROUP BY c.doc_id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    from docling_api_spark.operators.asof import connected_components
+    from docling_api_spark.plans.dedup_q import dup_corpus
+
+    corpus = dup_corpus(spark, sf_dir)
+    pairs = (
+        corpus.alias("a")
+        .join(
+            corpus.alias("b"),
+            (F.col("a.text") == F.col("b.text")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    nodes = corpus.select(F.col("doc_id").alias("id"))
+    lab = connected_components(pairs, nodes, max_iter=3)
+    return lab.select(
+        F.col("id").alias("doc_id"),
+        F.col("label").alias("cluster"),
+        (F.col("label") == F.col("id")).alias("is_rep"),
+    )

@@ -66,6 +66,7 @@ def _load_all() -> None:
     )
 
     from docling_api_spark.plans import (  # noqa: F401
+        advanced_q,
         chunk_q,
         dedup_q,
         multimodal_q,
