@@ -172,3 +172,38 @@ def simhash_dup_pairs(spark, sf_dir):
         .dropDuplicates(["a", "b"])
     )
     return cands.filter(F.col("ham") <= 3)
+
+
+@query(
+    "dedup_cascade_survivors", prio=20,
+    # the production dedup CASCADE (cheap→expensive): exact hash pass
+    # shrinks the corpus, MinHash-LSH near-dup pass runs on the
+    # survivors, smaller id survives each near-dup pair. Output = the
+    # final surviving corpus. Oracle = same exact pass + brute-force
+    # Jaccard ground truth for the near pass.
+    oracle=f"""
+        WITH {S.DUP_CORPUS_CTE.strip()},
+        ex AS (SELECT MIN(doc_id) AS doc_id FROM dup_corpus
+               GROUP BY {S.md5long("text")}),
+        s AS (SELECT c.doc_id, c.text FROM dup_corpus c
+              JOIN ex ON ex.doc_id = c.doc_id),
+        sh AS (SELECT doc_id, {S.shingles3(_TOKS)} AS sh FROM s),
+        losers AS (
+            SELECT DISTINCT b.doc_id
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) /
+                  CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8
+        )
+        SELECT doc_id FROM s
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+)
+def dedup_cascade_survivors(spark, sf_dir):
+    corpus = dup_corpus(spark, sf_dir)
+    exact = _dedup_exact(corpus)
+    survivors = corpus.join(
+        exact.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    near_pairs = dedup_minhash(survivors, threshold=0.8)
+    losers = near_pairs.select(F.col("b").alias("doc_id")).distinct()
+    return survivors.join(losers, "doc_id", "left_anti").select("doc_id")

@@ -33,3 +33,33 @@ def media_decode_dims(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     media = synthesize_media_table(docs, per_doc=1)
     return media_features(media, dim=8).select("media_ref", "width", "height", "ok")
+
+
+@query(
+    "media_resize_plan", prio=20,
+    # resize PLANNING stays JVM-side metadata arithmetic (prunes the
+    # expensive Python decode stage at 100 TB); target dims derive from
+    # the same md5 family the oracle computes. scale is reported
+    # rounded; targets use the unrounded scale on both engines.
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id || '/m0' AS media_ref,
+                   64 + ({S.md5long("doc_id || '/m0'")} % 64) AS width,
+                   48 + ({S.md5long("'h' || doc_id || '/m0'")} % 48) AS height
+            FROM documents)
+        SELECT media_ref, width, height,
+               ROUND(CASE WHEN GREATEST(width, height) > 96
+                          THEN 96.0 / GREATEST(width, height) ELSE 1.0 END, 6) AS scale,
+               CAST(CEIL(width * (CASE WHEN GREATEST(width, height) > 96
+                          THEN 96.0 / GREATEST(width, height) ELSE 1.0 END)) AS INT) AS target_w,
+               CAST(CEIL(height * (CASE WHEN GREATEST(width, height) > 96
+                          THEN 96.0 / GREATEST(width, height) ELSE 1.0 END)) AS INT) AS target_h
+        FROM m
+    """,
+)
+def media_resize_plan(spark, sf_dir):
+    from docling_api_spark.operators.multimodal import resize_plan
+
+    docs = load(spark, sf_dir, "documents")
+    media = synthesize_media_table(docs, per_doc=1)
+    return resize_plan(media, max_side=96)

@@ -195,3 +195,38 @@ def simhash_signatures(spark, sf_dir):
     return sigs.crossJoin(F.broadcast(ref)).select(
         "doc_id", "sig", hamming32(F.col("sig"), F.col("ref_sig")).alias("ham_to_ref")
     )
+
+
+@query(
+    "quality_filter_curation", prio=20,
+    # the curation step itself: score → threshold filter → per-language
+    # kept-corpus stats (what a 100 TB training-data pipeline reports
+    # after the garbage filter). quality formula = textstats_quality's.
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang, n_chars, {_TOKS} AS tok FROM documents),
+        q AS (SELECT lang, n_chars,
+                     ROUND(0.5 * LEAST(len(tok) / 100.0, 1.0) +
+                           0.5 * (len(list_filter(tok, x -> list_contains({_STOP_EN!r}, x))) /
+                                  CAST(len(tok) AS DOUBLE)), 4) AS quality
+              FROM t)
+        SELECT lang,
+               COUNT(*) AS n_kept,
+               CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+        FROM q WHERE quality >= 0.6
+        GROUP BY lang
+    """,
+)
+def quality_filter_curation(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    n = F.size(tok).cast("double")
+    stop_lits = F.array(*[F.lit(s) for s in _STOP_EN])
+    n_stop = F.size(F.filter(tok, lambda x: F.array_contains(stop_lits, x)))
+    quality = F.round(
+        0.5 * F.least(F.size(tok) / 100.0, F.lit(1.0)) + 0.5 * (n_stop / n), 4
+    )
+    kept = d.withColumn("quality", quality).filter(F.col("quality") >= 0.6)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+    )
