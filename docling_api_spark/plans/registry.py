@@ -72,6 +72,7 @@ def _load_all() -> None:
         multimodal_q,
         search_q,
         similarity_q,
+        streaming_q,
         textstats_q,
     )
     _LOADED = True

@@ -1,0 +1,88 @@
+"""Registered STREAMING queries (SURVEY.md §2.9) — the driver contract
+runs real Structured Streaming jobs (availableNow trigger: drain the
+backlog, commit the checkpoint, stop) and compares the final state
+against the batch-semantics oracle. One micro-batch covers the whole
+input here, so streaming state ≡ the batch computation — the equality
+the oracle checks.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from docling_api_spark.plans.registry import query
+
+
+def _as_stream_dir(sf_dir: str, table: str) -> str:
+    """File-source streams read a DIRECTORY; the testdata tables are
+    single parquet files — link one into a temp dir."""
+    d = tempfile.mkdtemp(prefix=f"stream_{table}_")
+    os.symlink(os.path.abspath(f"{sf_dir}/{table}.parquet"), f"{d}/{table}.parquet")
+    return d
+
+
+@query(
+    "streaming_sessionize", prio=20,
+    # applyInPandasWithState gap-sessionization, availableNow; final
+    # per-user state must equal the batch lag+cumsum sessionization
+    oracle="""
+        WITH o AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE OR
+                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ),
+        s AS (SELECT user_id,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM o)
+        SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions, COUNT(*) AS n_events
+        FROM s GROUP BY user_id
+    """,
+)
+def streaming_sessionize(spark, sf_dir):
+    from docling_api_spark.streaming.pipeline import stream_sessionize
+
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sess_")
+    q = stream_sessionize(spark, _as_stream_dir(sf_dir, "events"), ckpt, query_name=name)
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@query(
+    "streaming_windowed_metrics", prio=20,
+    # watermarked tumbling-window aggregation, availableNow complete
+    # mode; equals the batch tumbling aggregation when no data is late
+    # past the watermark (single-batch input)
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS value_sum
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def streaming_windowed_metrics(spark, sf_dir):
+    from docling_api_spark.streaming.pipeline import stream_metrics_query
+
+    name = f"metrics_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_metrics_")
+    q = stream_metrics_query(spark, _as_stream_dir(sf_dir, "events"), ckpt, query_name=name)
+    q.awaitTermination(300)
+    t = spark.table(name)
+    # NTZ→TZ→window→format round-trips the wall clock (same reason
+    # windowed_event_counts stays TZ-robust)
+    return t.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "value_sum",
+    )

@@ -102,6 +102,7 @@ def stream_metrics_query(
     spark: SparkSession,
     events_path: str,
     checkpoint_path: str,
+    query_name: str = "stream_metrics",
 ) -> StreamingQuery:
     """Streaming twin of the windowed metrics over a parquet events
     dir; update-mode in-memory sink for inspection/tests."""
@@ -110,7 +111,7 @@ def stream_metrics_query(
     metrics = stream_windowed_metrics(stream)
     return (
         metrics.writeStream.format("memory")
-        .queryName("stream_metrics")
+        .queryName(query_name)
         .option("checkpointLocation", checkpoint_path)
         .outputMode("complete")
         .trigger(availableNow=True)
@@ -123,6 +124,7 @@ def stream_sessionize(
     events_path: str,
     checkpoint_path: str,
     gap_seconds: int = 1800,
+    query_name: str = "stream_sessions",
 ) -> StreamingQuery:
     """Custom stateful streaming operator (applyInPandasWithState):
     gap-based per-user sessionization. State per user = (last event
@@ -192,7 +194,7 @@ def stream_sessionize(
     )
     return (
         sessions.writeStream.format("memory")
-        .queryName("stream_sessions")
+        .queryName(query_name)
         .option("checkpointLocation", checkpoint_path)
         .outputMode("update")
         .trigger(availableNow=True)
