@@ -111,6 +111,7 @@ def connected_components(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     lab = nodes.select(F.col("id"), F.col("id").alias("label"))
+    prev = None
     for _ in range(max_iter):
         prop = (
             sym.join(lab, sym.src == lab.id)
@@ -120,4 +121,10 @@ def connected_components(
             .agg(F.min("label").alias("label"))
         )
         lab = prop.persist()
+        # materialize this round, then release the previous round's
+        # cache (also truncates the lineage the next join replays)
+        lab.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = lab
     return lab
