@@ -1,7 +1,8 @@
 """Advanced relational / pipeline operators (engine extensions the
 100 TB tier needs beyond the reference's SQL surface): as-of join,
-range join, heavy-hitters vocabulary, running-total windows, and
-connected-components dedup clustering.
+range join, heavy-hitters vocabulary, running-total windows,
+connected-components dedup clustering, BM25 lexical ranking, and the
+composed hybrid (lexical ⊕ vector, RRF-fused) search pipeline.
 
 Each is a Catalyst composition with an exact DuckDB oracle; the as-of
 oracle uses the same union+window formulation (it IS the semantic
@@ -189,4 +190,170 @@ def dedup_clusters(spark, sf_dir):
         F.col("id").alias("doc_id"),
         F.col("label").alias("cluster"),
         (F.col("label") == F.col("id")).alias("is_rep"),
+    )
+
+
+_BM25_TERMS = ("analytics", "catalyst", "arrow")
+
+
+@query(
+    "bm25_rank", prio=20,
+    # BM25 lexical retrieval (k1=1.2, b=0.75) — the classical lexical
+    # leg of the reference's hybrid search (advanced_rag.py lexical
+    # scoring, generalized to the standard ranking function). Corpus
+    # stats (N, avgdl, per-term df) computed in-plan (broadcast),
+    # never driver-side.
+    oracle=f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+        dd AS (SELECT doc_id, len(tok) AS dl, tok FROM d),
+        s AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dd),
+        e AS (SELECT doc_id, dl, unnest(tok) AS term FROM dd),
+        tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM e
+               WHERE term IN {_BM25_TERMS!r} GROUP BY 1, 2, 3),
+        dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM e
+                  WHERE term IN {_BM25_TERMS!r} GROUP BY 1)
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                   ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1) *
+                   (tf.tf * 2.2) /
+                   (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl /
+                                   (CAST(s.sdl AS DOUBLE) / s.n)))
+               ), 4) AS bm25
+        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN s
+        GROUP BY tf.doc_id
+        ORDER BY bm25 DESC, tf.doc_id
+        LIMIT 15
+    """,
+)
+def bm25_rank(spark, sf_dir):
+    from docling_api_spark.functions.hashing import tokens
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("tok")
+    )
+    dd = d.select("doc_id", F.size("tok").alias("dl"), "tok")
+    stats = dd.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
+    e = dd.select("doc_id", "dl", F.explode("tok").alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = e.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = e.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    avgdl = F.col("sdl").cast("double") / F.col("n")
+    term_score = idf * (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / avgdl)
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(15)
+    )
+
+
+@query(
+    "hybrid_search_rrf", prio=20,
+    # the reference's HYBRID search (services/rag_service.py vector +
+    # lexical legs, advanced_rag.py:221-234 RRF merge) as one composed
+    # plan: BM25 lexical ranking ⊕ embedding-cosine ranking (our own
+    # feature-hash embedder; integer bucket counts — cosine is
+    # scale-invariant) fused with reciprocal-rank k=60. Corpus capped
+    # at 150 docs for the brute-force cosine leg (parity twin of the
+    # LSH scale path, same rationale as doc_embedding_dup_pairs).
+    oracle=f"""
+        WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+        d AS (SELECT doc_id, {_TOKS} AS tok FROM base),
+        dd AS (SELECT doc_id, len(tok) AS dl, tok FROM d),
+        s AS (SELECT COUNT(*) AS n, SUM(dl) AS sdl FROM dd),
+        e AS (SELECT doc_id, dl, unnest(tok) AS term FROM dd),
+        tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM e
+               WHERE term IN {_BM25_TERMS!r} GROUP BY 1, 2, 3),
+        dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM e
+                  WHERE term IN {_BM25_TERMS!r} GROUP BY 1),
+        lex AS (
+            SELECT tf.doc_id,
+                   SUM(ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1) *
+                       (tf.tf * 2.2) /
+                       (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl /
+                                       (CAST(s.sdl AS DOUBLE) / s.n)))) AS score
+            FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN s
+            GROUP BY tf.doc_id),
+        lrank AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk
+                  FROM lex),
+        v AS (SELECT doc_id,
+                     [CAST(list_sum(list_prepend(0,
+                        [CASE WHEN {S.md5long("tk")} % 384 = b
+                              THEN (CASE WHEN ({S.md5long("tk")} >> 31) & 1 = 1 THEN 1 ELSE -1 END)
+                              ELSE 0 END for tk in tok])) AS BIGINT)
+                      for b in range(0, 384)] AS vec
+              FROM d),
+        qv AS (SELECT [CAST(list_sum(list_prepend(0,
+                        [CASE WHEN {S.md5long("tk")} % 384 = b
+                              THEN (CASE WHEN ({S.md5long("tk")} >> 31) & 1 = 1 THEN 1 ELSE -1 END)
+                              ELSE 0 END for tk in {list(_BM25_TERMS)!r}])) AS BIGINT)
+                      for b in range(0, 384)] AS vec),
+        sim AS (SELECT v.doc_id, {S.cosine("v.vec", "qv.vec", 384)} AS cos
+                FROM v CROSS JOIN qv),
+        vrank AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rnk
+                  FROM sim),
+        u AS (SELECT doc_id, rnk FROM lrank UNION ALL SELECT doc_id, rnk FROM vrank)
+        SELECT doc_id, ROUND(SUM(1.0 / (60 + rnk)), 6) AS rrf
+        FROM u GROUP BY doc_id
+        ORDER BY rrf DESC, doc_id
+        LIMIT 10
+    """,
+)
+def hybrid_search_rrf(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from docling_api_spark.functions.hashing import cosine as _cos
+    from docling_api_spark.functions.hashing import tokens
+    from docling_api_spark.operators.embed import hash_counts, hash_counts_udf
+
+    base = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150).select(
+        "doc_id", "text"
+    )
+    d = base.select("doc_id", tokens(F.col("text")).alias("tok"))
+    dd = d.select("doc_id", F.size("tok").alias("dl"), "tok").persist()
+    stats = dd.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
+    e = dd.select("doc_id", "dl", F.explode("tok").alias("term")).filter(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = e.groupBy("doc_id", "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = e.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    avgdl = F.col("sdl").cast("double") / F.col("n")
+    term_score = idf * (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / avgdl)
+    )
+    lex = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    lrank = lex.select(
+        "doc_id", F.row_number().over(W.orderBy(F.desc("score"), "doc_id")).alias("rnk")
+    )
+
+    # vector leg: doc vectors via the Arrow embedder core; the query
+    # vector is a driver-side constant (literal array in the plan)
+    vecs = base.select("doc_id", hash_counts_udf(384)(F.col("text")).alias("vec"))
+    qvec = F.array(*[F.lit(int(x)) for x in hash_counts(" ".join(_BM25_TERMS), 384)])
+    sim = vecs.select("doc_id", _cos(F.col("vec"), qvec, 6).alias("cos"))
+    vrank = sim.select(
+        "doc_id", F.row_number().over(W.orderBy(F.desc("cos"), "doc_id")).alias("rnk")
+    )
+
+    u = lrank.unionByName(vrank)
+    return (
+        u.groupBy("doc_id")
+        .agg(F.round(F.sum(1.0 / (60 + F.col("rnk"))), 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
     )
