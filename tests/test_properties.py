@@ -142,3 +142,101 @@ def test_minhash_monotone_under_shingle_superset(ws):
     superset = base | {"zzz extra shingle"}
     s1, s2 = sig(base), sig(superset)
     assert all(b <= a for a, b in zip(s1, s2))
+
+
+# ---------------------------------------------------------------------------
+# XLSX / PPTX kernel roundtrip properties
+# ---------------------------------------------------------------------------
+
+cell_text = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x17F),
+    min_size=1,
+    max_size=8,
+)
+grid = st.lists(st.lists(cell_text, min_size=1, max_size=4), min_size=1, max_size=4)
+
+
+@settings(max_examples=50, deadline=None)
+@given(grid)
+def test_xlsx_grid_roundtrip(rows):
+    """Any grid of simple cells survives the XLSX kernel: one heading +
+    one table whose text reproduces the (padded) grid."""
+    from docling_api_spark.kernels.xlsx import extract_xlsx_sheet
+
+    xml = "<sheet name=\"S\">" + "".join(
+        "<row>" + "".join(f"<c>{c}</c>" for c in row) + "</row>" for row in rows
+    ) + "</sheet>"
+    spans = extract_xlsx_sheet(xml)
+    assert spans[0] == {"kind": "heading", "text": "S", "media_ref": ""}
+    ncols = max(len(r) for r in rows)
+    padded = [r + [""] * (ncols - len(r)) for r in rows]
+    assert spans[1]["text"] == "\n".join(" | ".join(r) for r in padded)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(st.booleans(), cell_text), min_size=1, max_size=6))
+def test_pptx_paragraph_kinds_roundtrip(paras):
+    """Bulleted body paragraphs become list_items, plain ones text, in
+    order."""
+    from docling_api_spark.kernels.pptx import extract_pptx_slide
+
+    bullet_attr = ' bullet="1"'
+    xml = '<p:sp type="body">' + "".join(
+        f"<a:p{bullet_attr if b else ''}><a:t>{t}</a:t></a:p>" for b, t in paras
+    ) + "</p:sp>"
+    spans = extract_pptx_slide(xml)
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("list_item" if b else "text", t) for b, t in paras
+    ]
+
+
+# ---------------------------------------------------------------------------
+# as-of join ≡ pandas.merge_asof (the published reference semantic)
+# ---------------------------------------------------------------------------
+
+asof_case = st.tuples(
+    st.lists(  # left: (key, t)
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=20
+    ),
+    st.lists(  # right: (key, t, payload)
+        st.tuples(st.integers(0, 3), st.integers(0, 1000), st.integers(0, 99)),
+        min_size=0,
+        max_size=20,
+    ),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(case=asof_case)
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    import pandas as pd
+
+    from docling_api_spark.operators.asof import asof_join
+
+    lrows, rrows = case
+    lpd = pd.DataFrame(
+        {"k": [k for k, _ in lrows], "t": pd.to_datetime([t for _, t in lrows], unit="s")}
+    )
+    lpd["lid"] = range(len(lpd))
+    rpd = pd.DataFrame(
+        {
+            "k": pd.array([k for k, _, _ in rrows], dtype="int64"),
+            "rt": pd.to_datetime([t for _, t, _ in rrows], unit="s"),
+            "rid": pd.array([p for _, _, p in rrows], dtype="int64"),
+        }
+    )
+    # merge_asof picks the LAST right row among equal timestamps; our
+    # operator picks the max payload — align by sorting payload ascending
+    rpd = rpd.sort_values(["rt", "rid"], kind="stable").reset_index(drop=True)
+    lsorted = lpd.sort_values("t", kind="stable").reset_index(drop=True)
+    want = pd.merge_asof(lsorted, rpd, left_on="t", right_on="rt", by="k")
+    want_map = {int(r["lid"]): (None if pd.isna(r["rid"]) else int(r["rid"])) for _, r in want.iterrows()}
+
+    ldf = spark.createDataFrame(lpd[["k", "t", "lid"]])
+    if len(rpd):
+        rdf = spark.createDataFrame(rpd[["k", "rt", "rid"]])
+    else:
+        rdf = spark.createDataFrame([], "k bigint, rt timestamp, rid bigint")
+    got = asof_join(ldf, rdf, "k", "t", "rt", ["rid"]).collect()
+    got_map = {int(r["lid"]): (None if r["rid"] is None else int(r["rid"])) for r in got}
+    assert got_map == want_map
