@@ -1,0 +1,64 @@
+"""Physical-plan contracts — the scale properties PLANS.md documents,
+pinned as regression tests so a future refactor cannot silently
+reintroduce a shuffle, lose a broadcast, or un-prune a scan."""
+
+from __future__ import annotations
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = E.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_asof_join_is_single_shuffle(spark):
+    plan = _plan(spark, "asof_click_attribution")
+    assert plan.count("Exchange") == 1, plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+
+
+def test_small_side_joins_broadcast(spark):
+    for name in ("join_fact_dim", "join_three_dims", "range_join_shipments"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_heavy_hitters_no_global_sort(spark):
+    plan = _plan(spark, "vocab_heavy_hitters")
+    assert "TakeOrderedAndProject" in plan  # top-k, not sort-the-world
+    assert plan.count("Exchange") == 1  # partial+final agg only
+
+
+def test_aggregations_are_partial_final(spark):
+    plan = _plan(spark, "tpch_q1_style")
+    # two HashAggregate nodes around one exchange = map-side combine
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_scan_pruning_reaches_parquet(spark):
+    plan = _plan(spark, "pk_lookup")
+    assert "PushedFilters: [" in plan
+    # projection pruned to exactly the selected columns
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"):
+        assert col in read
+    assert "l_extendedprice" not in read and "l_shipdate" not in read
+
+
+def test_extraction_python_is_mapinpandas_only(spark):
+    plan = _plan(spark, "extract_html_roundtrip")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quarantine_filter_adds_no_shuffle(spark):
+    """extract() with the error filter has the same exchange count as
+    the documented shape: fast-path repartition + shard salt +
+    reassembly agg = 3."""
+    plan = _plan(spark, "extract_span_counts")
+    assert plan.count("Exchange") == 3, plan
