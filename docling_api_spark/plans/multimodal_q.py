@@ -63,3 +63,39 @@ def media_resize_plan(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     media = synthesize_media_table(docs, per_doc=1)
     return resize_plan(media, max_side=96)
+
+
+@query(
+    "video_frame_plan", prio=20,
+    # frame-sampling PLAN (JVM-side metadata arithmetic; the decode
+    # stage it prunes is the stubbed codec): uniform every 1 s capped
+    # at 32 frames, per-frame target time + source frame number.
+    # Synthetic per-doc video metadata is a pure function of doc_id.
+    oracle="""
+        WITH m AS (SELECT doc_id || '/v0' AS media_ref,
+                          CAST(5 + doc_id % 50 AS DOUBLE) AS dur,
+                          CAST(24 + (doc_id % 2) * 6 AS DOUBLE) AS fps
+                   FROM documents),
+        n AS (SELECT media_ref, dur, fps,
+                     LEAST(CAST(FLOOR(dur / 1.0) AS INT) + 1, 32) AS nf
+              FROM m),
+        e AS (SELECT media_ref, dur, fps, nf,
+                     unnest(range(0, nf)) AS fi
+              FROM n)
+        SELECT media_ref,
+               CAST(fi AS INT) AS frame_index,
+               ROUND(fi * (dur / nf), 3) AS frame_time_s,
+               CAST(FLOOR(fi * (dur / nf) * fps) AS INT) AS source_frame
+        FROM e
+    """,
+)
+def video_frame_plan(spark, sf_dir):
+    from docling_api_spark.operators.multimodal import frame_sample_plan
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("/v0")).alias("media_ref"),
+        (5 + F.col("doc_id") % 50).cast("double").alias("duration_s"),
+        (24 + (F.col("doc_id") % 2) * 6).cast("double").alias("fps"),
+    )
+    return frame_sample_plan(media, every_s=1.0, max_frames=32)
