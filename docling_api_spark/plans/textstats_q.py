@@ -25,7 +25,7 @@ _TOKS = S.toks("text")
 
 
 @query(
-    "token_count_bpe", prio=10,
+    "token_count_bpe", prio=5,  # cheapest query first: absorbs session warmup
     oracle=f"""
         SELECT doc_id,
                len({_TOKS}) AS n_ws_tokens,
