@@ -193,7 +193,9 @@ def dedup_clusters(spark, sf_dir):
     )
 
 
-_BM25_TERMS = ("analytics", "catalyst", "arrow")
+# terms chosen from the driver corpus's actual vocabulary (so the
+# gate exercises real tf/df statistics, not a vacuous empty ranking)
+_BM25_TERMS = ("spark", "join", "window")
 
 
 @query(

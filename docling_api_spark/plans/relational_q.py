@@ -31,12 +31,14 @@ def _dsum(col):
 
 @query(
     "pk_lookup",  # P1: api/routes/chunks.py:23-27
+    # key values chosen to EXIST in the testdata (a hit, not a vacuous
+    # empty-equals-empty check)
     oracle="SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag "
-    "FROM lineitem WHERE l_orderkey = 1 AND l_linenumber = 1",
+    "FROM lineitem WHERE l_orderkey = 1 AND l_linenumber = 3",
 )
 def pk_lookup(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
-    return li.filter((F.col("l_orderkey") == 1) & (F.col("l_linenumber") == 1)).select(
+    return li.filter((F.col("l_orderkey") == 1) & (F.col("l_linenumber") == 3)).select(
         "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
     )
 
@@ -160,12 +162,16 @@ def join_three_dims(spark, sf_dir):
 
 @query(
     "anti_join_add_if_absent",  # P8/J5: api/routes/collections.py:154-163
+    # right side filtered to urgent orders so the testdata yields a
+    # non-empty result (every customer has SOME order — the unfiltered
+    # version is a vacuous empty-equals-empty check)
     oracle="SELECT c_custkey FROM customer c WHERE NOT EXISTS "
-    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderpriority = '1-URGENT')",
 )
 def anti_join_add_if_absent(spark, sf_dir):
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
