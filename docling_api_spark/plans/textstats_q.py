@@ -201,7 +201,8 @@ def simhash_signatures(spark, sf_dir):
     "quality_filter_curation", prio=20,
     # the curation step itself: score → threshold filter → per-language
     # kept-corpus stats (what a 100 TB training-data pipeline reports
-    # after the garbage filter). quality formula = textstats_quality's.
+    # after the garbage filter). quality formula = textstats_quality's;
+    # threshold 0.3 ~ the corpus median, so the filter genuinely splits.
     oracle=f"""
         WITH t AS (SELECT doc_id, lang, n_chars, {_TOKS} AS tok FROM documents),
         q AS (SELECT lang, n_chars,
@@ -212,7 +213,7 @@ def simhash_signatures(spark, sf_dir):
         SELECT lang,
                COUNT(*) AS n_kept,
                CAST(SUM(n_chars) AS BIGINT) AS kept_chars
-        FROM q WHERE quality >= 0.6
+        FROM q WHERE quality >= 0.3
         GROUP BY lang
     """,
 )
@@ -225,7 +226,7 @@ def quality_filter_curation(spark, sf_dir):
     quality = F.round(
         0.5 * F.least(F.size(tok) / 100.0, F.lit(1.0)) + 0.5 * (n_stop / n), 4
     )
-    kept = d.withColumn("quality", quality).filter(F.col("quality") >= 0.6)
+    kept = d.withColumn("quality", quality).filter(F.col("quality") >= 0.3)
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_kept"),
         F.sum("n_chars").alias("kept_chars"),
