@@ -12,9 +12,11 @@ on the hand-written fixtures. Generation is pure-function-of-index
 ``spark.range(n).mapInPandas`` with no driver-side materialization and
 no shuffle.
 
-Format mix ≈ 60% HTML / 30% PDF / 10% DOCX (FIXTURES.md); 1 in
-SKEW_EVERY docs is an oversized multi-page PDF (the heavy tail that
-drives the skew/salting path).
+Format mix ≈ 40% HTML / 30% PDF / 10% DOCX / 10% XLSX / 10% PPTX
+(the reference's full format list); 1 in SKEW_EVERY docs is an
+oversized multi-page PDF (the heavy tail that drives the skew/salting
+path). XLSX sheets and PPTX slides are multi-raw-span docs like PDF
+pages — they ride the salted shard + reassembly path.
 """
 
 from __future__ import annotations
@@ -245,6 +247,70 @@ def _gen_docx(rng: random.Random, doc_id: str) -> tuple[list[dict], list[dict]]:
     return raw, golden
 
 
+def _gen_xlsx(rng: random.Random, doc_id: str) -> tuple[list[dict], list[dict]]:
+    """Workbook of 1-3 sheets; one raw span per sheet (1-based sheet
+    number in the offset → page provenance), heading + grid table per
+    sheet (kernels/xlsx.py semantics)."""
+    raw: list[dict] = []
+    golden: list[dict] = []
+    for s in range(1, rng.randint(2, 4)):
+        name = f"{rng.choice(_VOCAB)}_{s}"
+        cells = _table_cells(rng)
+        xml = (
+            f'<sheet name="{name}">'
+            + "".join("<row>" + "".join(f"<c>{c}</c>" for c in row) + "</row>" for row in cells)
+            + "</sheet>"
+        )
+        raw.append({"kind": "xlsx_sheet", "text": xml, "media_ref": "", "offset": s})
+        golden.append({"kind": "heading", "text": name, "media_ref": "", "page": s})
+        golden.append({"kind": "table", "text": _table_text(cells), "media_ref": "", "page": s})
+    return raw, golden
+
+
+def _gen_pptx(rng: random.Random, doc_id: str) -> tuple[list[dict], list[dict]]:
+    """Deck of 1-3 slides; one raw span per slide (1-based slide number
+    in the offset → page provenance); title + body paragraphs/bullets,
+    occasional picture or table frame (kernels/pptx.py semantics)."""
+    raw: list[dict] = []
+    golden: list[dict] = []
+    media_idx = 0
+    for s in range(1, rng.randint(2, 4)):
+        parts: list[str] = []
+        title = _sentence(rng)[:-1]
+        parts.append(f'<p:sp type="title"><a:p><a:t>{title}</a:t></a:p></p:sp>')
+        golden.append({"kind": "heading", "text": title, "media_ref": "", "page": s})
+        body: list[str] = []
+        for _ in range(rng.randint(1, 3)):
+            if rng.random() < 0.5:
+                t = _sentence(rng)
+                body.append(f'<a:p bullet="1"><a:t>{t}</a:t></a:p>')
+                golden.append({"kind": "list_item", "text": t, "media_ref": "", "page": s})
+            else:
+                p = _para(rng)
+                body.append(f"<a:p><a:t>{p}</a:t></a:p>")
+                golden.append({"kind": "text", "text": p, "media_ref": "", "page": s})
+        parts.append('<p:sp type="body">' + "".join(body) + "</p:sp>")
+        roll = rng.random()
+        if roll < 0.25:
+            ref = f"{doc_id}/m{media_idx}"
+            media_idx += 1
+            parts.append(f'<p:pic r:embed="{ref}"/>')
+            golden.append({"kind": "image", "text": "", "media_ref": ref, "page": s})
+        elif roll < 0.45:
+            cells = _table_cells(rng)
+            parts.append(
+                "<p:graphicFrame><a:tbl>"
+                + "".join(
+                    "<a:tr>" + "".join(f"<a:tc><a:t>{c}</a:t></a:tc>" for c in row) + "</a:tr>"
+                    for row in cells
+                )
+                + "</a:tbl></p:graphicFrame>"
+            )
+            golden.append({"kind": "table", "text": _table_text(cells), "media_ref": "", "page": s})
+        raw.append({"kind": "pptx_slide", "text": "".join(parts), "media_ref": "", "offset": s})
+    return raw, golden
+
+
 def gen_doc(i: int, seed: int = _SEED) -> tuple[dict, list[dict]]:
     """Deterministic doc #i → (raw_doc_row, golden_output_spans).
 
@@ -260,6 +326,12 @@ def gen_doc(i: int, seed: int = _SEED) -> tuple[dict, list[dict]]:
     elif m == 9:
         fmt = "docx"
         raw, golden = _gen_docx(rng, doc_id)
+    elif m == 4:
+        fmt = "xlsx"
+        raw, golden = _gen_xlsx(rng, doc_id)
+    elif m == 5:
+        fmt = "pptx"
+        raw, golden = _gen_pptx(rng, doc_id)
     else:
         fmt = "html"
         raw, golden = _gen_html(rng, doc_id)

@@ -77,8 +77,10 @@ def test_corpus_roundtrip(i):
     including the oversized (skew-tail) PDF at index 499."""
     doc, golden = gen_doc(i)
     out: list[dict] = []
+    from docling_api_spark.kernels import PAGED_KINDS
+
     for s in sorted(doc["spans"], key=lambda s: s["offset"]):
-        page = s["offset"] if s["kind"] == "pdf_page" else 0
+        page = s["offset"] if s["kind"] in PAGED_KINDS else 0
         for r in extract_raw_span(s["kind"], s["text"]):
             out.append({**r, "page": page})
     assert _numbered(out) == golden
