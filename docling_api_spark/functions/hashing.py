@@ -253,3 +253,21 @@ def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
     for c in bits[1:]:
         out = out + c
     return out
+
+
+def ivf_centroids(dim: int, n_cells: int) -> list[list[float]]:
+    """Deterministic IVF coarse centroids from the md5 family (the
+    fixed-quantizer twin of ``srp_planes``): component j of centroid c
+    = (md5_long('ivf-{c}-{j}') % 2001 - 1000)/1000. The DuckDB oracle
+    regenerates them, so cell assignment — and therefore the whole
+    probe pipeline — is exactly cross-engine-checkable."""
+    import hashlib
+
+    cents = []
+    for c in range(n_cells):
+        row = []
+        for j in range(dim):
+            h = int(hashlib.md5(f"ivf-{c}-{j}".encode()).hexdigest()[:8], 16)
+            row.append((h % 2001 - 1000) / 1000.0)
+        cents.append(row)
+    return cents

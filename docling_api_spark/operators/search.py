@@ -152,3 +152,66 @@ def ivf_topk(
         F.col(id_col), cosine(F.col(vec_col), F.col("qv"), scale).alias("sim")
     )
     return scored.orderBy(F.desc("sim"), id_col).limit(k)
+
+
+def ivf_fixed_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 6,
+) -> DataFrame:
+    """IVF top-k with a DETERMINISTIC md5-derived coarse quantizer
+    (functions/hashing.py:ivf_centroids) instead of KMeans: cell =
+    argmax cosine(vector, centroid) with (cosine desc, cell asc)
+    tie-break on the rounded similarity; probe the ``nprobe`` cells
+    nearest the query; exact rescoring inside.
+
+    Same physical shape as ``ivf_topk`` (cell = partition key at
+    scale, nprobe pruning) but every step is reproducible from
+    constants — this pins the IVF *algorithm* exactly against the SQL
+    oracle, while ``ivf_topk``'s KMeans recall stays pytest-gated.
+    """
+    from pyspark.sql import Window as W
+
+    from docling_api_spark.functions.hashing import ivf_centroids
+
+    cents = ivf_centroids(dim, n_cells)
+
+    def assign(df: DataFrame, vcol: str, out: str) -> DataFrame:
+        exploded = df.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("cell"),
+                            cosine(
+                                F.col(vcol), F.array(*[F.lit(x) for x in cents[c]]), scale
+                            ).alias("ccos"),
+                        )
+                        for c in range(n_cells)
+                    ]
+                )
+            ).alias("a"),
+        ).select("*", F.col("a.cell").alias(out), F.col("a.ccos").alias("ccos")).drop("a")
+        w = W.partitionBy(id_col if out == "cell" else F.lit(1)).orderBy(
+            F.desc("ccos"), out
+        )
+        return exploded.withColumn("__rn", F.row_number().over(w))
+
+    indexed = assign(corpus, vec_col, "cell").filter(F.col("__rn") == 1).drop("__rn", "ccos")
+    probes = (
+        assign(query, "qv", "qcell")
+        .filter(F.col("__rn") <= nprobe)
+        .select(F.col("qcell").alias("cell"))
+    )
+    cands = indexed.join(F.broadcast(probes), "cell")
+    scored = cands.crossJoin(F.broadcast(query)).select(
+        F.col(id_col), cosine(F.col(vec_col), F.col("qv"), scale).alias("sim")
+    )
+    return scored.orderBy(F.desc("sim"), id_col).limit(k)

@@ -128,3 +128,13 @@ dup_vectors AS (
     SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
 )
 """
+
+
+def ivf_centroids_cte(dim: int, n_cells: int) -> str:
+    """CTE body ``cents(c, cv)`` — deterministic IVF coarse centroids
+    regenerated from the hash family (= functions.hashing.ivf_centroids)."""
+    comp = md5long("'ivf-'||c||'-'||j")
+    return (
+        f"cents AS (SELECT c, [(({comp}) % 2001 - 1000)/1000.0 "
+        f"for j in range(0,{dim})] AS cv FROM range(0,{n_cells}) t(c))"
+    )

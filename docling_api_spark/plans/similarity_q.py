@@ -157,3 +157,46 @@ def doc_embedding_dup_pairs(spark, sf_dir):
         "a", "b", _cos(F.col("va"), F.col("vb"), 6).alias("cos")
     )
     return pairs.filter(F.col("cos") >= 0.99)
+
+
+@query(
+    "ivf_fixed_topk", prio=20,
+    # IVF probe pipeline with a DETERMINISTIC md5-derived coarse
+    # quantizer: cell = argmax rounded-cosine(vector, centroid) with
+    # cell-asc tie-break, probe the 4 nearest cells, exact rescoring.
+    # Pins the IVF algorithm exactly cross-engine (ivf_ann_topk keeps
+    # the KMeans variant, recall-gated in pytest).
+    oracle=f"""
+        WITH {S.ivf_centroids_cte(DIM, 16)},
+        assigned AS (
+            SELECT vec_id, c, {S.cosine("e.embedding", "cents.cv", DIM)} AS ccos,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY {S.cosine("e.embedding", "cents.cv", DIM)} DESC, c) AS rn
+            FROM embeddings e CROSS JOIN cents),
+        cells AS (SELECT vec_id, c AS cell FROM assigned WHERE rn = 1),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        qrank AS (
+            SELECT c AS cell,
+                   ROW_NUMBER() OVER (ORDER BY {S.cosine("q.qv", "cents.cv", DIM)} DESC, c) AS rn
+            FROM q CROSS JOIN cents),
+        probes AS (SELECT cell FROM qrank WHERE rn <= 4)
+        SELECT e.vec_id, {_COS} AS sim
+        FROM embeddings e
+        JOIN cells ON cells.vec_id = e.vec_id
+        JOIN probes ON probes.cell = cells.cell
+        CROSS JOIN q
+        ORDER BY sim DESC, e.vec_id
+        LIMIT 5
+    """,
+)
+def ivf_fixed_topk(spark, sf_dir):
+    from docling_api_spark.operators.search import ivf_fixed_topk as _ivf
+
+    return _ivf(
+        load(spark, sf_dir, "embeddings"),
+        _query_vec(spark, sf_dir),
+        dim=DIM,
+        k=5,
+        n_cells=16,
+        nprobe=4,
+    )
