@@ -26,6 +26,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# `python jobs/run_extract.py` puts jobs/ (not the repo root) on
+# sys.path; under spark-submit --py-files the zip provides the package.
+# Bootstrap the repo-root layout so both invocations work.
+try:  # noqa: SIM105
+    import docling_api_spark  # noqa: F401
+except ModuleNotFoundError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
