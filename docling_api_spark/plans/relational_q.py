@@ -660,3 +660,22 @@ def event_timestamp_parts(spark, sf_dir):
         F.hour("ts").alias("hr"),
         (F.dayofweek("ts") - 1).alias("dow"),
     )
+
+
+@query(
+    "median_price_by_status", prio=20,
+    # exact interpolated median per group (sort-based percentile — the
+    # exact twin of sketch_value_quantiles' approximate path)
+    oracle="""
+        SELECT o_orderstatus,
+               ROUND(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def median_price_by_status(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("median_price"),
+        F.count("*").alias("n"),
+    )
