@@ -85,8 +85,21 @@ def range_join_shipments(spark, sf_dir):
     cond = (F.col("l_shipdate") >= F.col("o_orderdate")) & (
         F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")
     )
-    joined = F.broadcast(o).join(li, cond, "left")
-    return joined.groupBy("o_orderkey").agg(F.count("l_orderkey").alias("n_shipped"))
+    # INNER build-right broadcast nested-loop (the efficient BNLJ
+    # direction: fact streamed, 20 ranges broadcast), then reinstate
+    # zero-match windows with a tiny left join — a left-OUTER join
+    # with a broadcast outer side degenerates (measured 17 s vs ~2 s
+    # at sf0.1)
+    matched = (
+        li.join(F.broadcast(o.select("o_orderkey", "o_orderdate")), cond)
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_shipped"))
+    )
+    return (
+        o.select("o_orderkey")
+        .join(F.broadcast(matched), "o_orderkey", "left")
+        .select("o_orderkey", F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"))
+    )
 
 
 @query(
