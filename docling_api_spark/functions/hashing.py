@@ -108,13 +108,31 @@ def _affine(a: int, b: int):
 def minhash_from_hashes(hashes: Column, num_hashes: int) -> Column:
     """MinHash signature via the universal-hashing construction
     (Broder): member i = min over shingles of (a_i·h + b_i) mod p,
-    from ONE base hash per shingle — 32 cheap affine passes instead
-    of 32 md5 passes."""
-    return F.array(
+    from ONE base hash per shingle.
+
+    Single-pass formulation (same trick as ``simhash_from_hashes``):
+    ONE aggregate whose accumulator is the running-minimum vector,
+    zip_with'd against a literal (a_i, b_i) struct array — one
+    traversal of the shingle-hash array instead of ``num_hashes``
+    independent array_min passes, and a much smaller codegen tree.
+    The accumulator initializes to p (every affine value is < p, so
+    the init never survives; shingle_hashes guarantees a non-empty
+    input)."""
+    consts = F.array(
         *[
-            F.array_min(F.transform(hashes, _affine(*minhash_consts(i))))
-            for i in range(num_hashes)
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in (minhash_consts(i) for i in range(num_hashes))
         ]
+    )
+    init = F.array(*[F.lit(MINHASH_P).cast("long") for _ in range(num_hashes)])
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            consts,
+            lambda m, c: F.least(m, (c["a"] * (h % MINHASH_P) + c["b"]) % MINHASH_P),
+        ),
     )
 
 
