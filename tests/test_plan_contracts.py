@@ -62,3 +62,13 @@ def test_quarantine_filter_adds_no_shuffle(spark):
     reassembly agg = 3."""
     plan = _plan(spark, "extract_span_counts")
     assert plan.count("Exchange") == 3, plan
+
+
+def test_dedup_pipelines_never_cartesian(spark):
+    """The banded-LSH and pigeonhole-band joins must stay keyed
+    self-joins — a cartesian (all-pairs) plan is the scale failure the
+    banding exists to prevent."""
+    for name in ("dedup_minhash_pairs", "simhash_dup_pairs", "dedup_cascade_survivors"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
