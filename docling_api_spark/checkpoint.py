@@ -153,6 +153,7 @@ def extract_with_checkpoint(
     batch_buckets: int = 4,
     fail_after_batches: int | None = None,
     max_size_bytes: int | None = None,
+    ocr=None,
 ) -> dict:
     """Run the extraction pipeline bucket-batch by bucket-batch with
     commit metadata; resumable after any crash.
@@ -174,6 +175,8 @@ def extract_with_checkpoint(
             group = pending[i : i + batch_buckets]
             batch = corpus.filter(bucket_of(F.col("doc_id"), num_buckets).isin(group))
             extract_kwargs = {} if max_size_bytes is None else {"max_size_bytes": max_size_bytes}
+            if ocr is not None:
+                extract_kwargs["ocr"] = ocr
             extracted = extract(batch, **extract_kwargs).withColumn(
                 "bucket", bucket_of(F.col("doc_id"), num_buckets)
             )

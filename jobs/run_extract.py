@@ -48,6 +48,16 @@ def main() -> None:
     ap.add_argument("--batch-buckets", type=int, default=32)
     ap.add_argument("--max-size-mb", type=int, default=50)
     ap.add_argument(
+        "--ocr",
+        action="store_true",
+        help="enable OCR for scanned pages/image docs (kernels/ocr.py do_ocr)",
+    )
+    ap.add_argument(
+        "--force-full-page-ocr",
+        action="store_true",
+        help="re-OCR even pages with a text layer (EasyOcrOptions semantics)",
+    )
+    ap.add_argument(
         "--resume",
         action="store_true",
         help="resume from committed buckets (this is also the default behavior; "
@@ -65,6 +75,8 @@ def main() -> None:
 
     from docling_api_spark.checkpoint import commit_history, extract_with_checkpoint
 
+    from docling_api_spark.kernels.ocr import OcrOptions
+
     corpus = spark.read.parquet(args.input)
     result = extract_with_checkpoint(
         corpus,
@@ -72,6 +84,7 @@ def main() -> None:
         num_buckets=args.num_buckets,
         batch_buckets=args.batch_buckets,
         max_size_bytes=args.max_size_mb * 1024 * 1024,
+        ocr=OcrOptions(do_ocr=args.ocr, force_full_page_ocr=args.force_full_page_ocr),
     )
     hist = commit_history(spark, args.output)
     totals = hist.groupBy().sum("docs", "spans", "chars").first()
