@@ -9,7 +9,8 @@ Usage:
         jobs/run_extract.py \
         --input  /path/to/corpus_parquet \
         --output /path/to/extracted_table \
-        [--num-buckets 256] [--batch-buckets 32] [--resume]
+        [--num-buckets 256] [--batch-buckets 32] [--resume] \
+        [--ocr] [--force-full-page-ocr] [--max-size-mb 50]
 
 The input is the canonical corpus table (doc_id, fmt, size_bytes,
 spans); output is the extracted table partitioned by content bucket

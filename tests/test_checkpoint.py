@@ -71,3 +71,29 @@ def test_resume_is_noop_when_complete(spark, corpus, tmp_path):
     res = extract_with_checkpoint(corpus, out, num_buckets=4, batch_buckets=4)
     assert res["processed_batches"] == 0
     assert len(res["skipped_buckets"]) == 4
+
+
+def test_checkpointed_extract_with_ocr_matches_direct(spark, tmp_path):
+    """OCR options thread through the checkpointed job: the bucketed
+    output equals a direct extract(ocr=...) of the same corpus."""
+    from pyspark.sql import functions as F
+
+    from docling_api_spark.checkpoint import extract_with_checkpoint
+    from docling_api_spark.kernels.ocr import OcrOptions
+    from docling_api_spark.operators.extract import extract
+    from docling_api_spark.sources.catalog import wrap_documents_as_scanned_corpus
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("scanned text for doc "), F.col("id").cast("string")).alias("text"),
+    )
+    corpus = wrap_documents_as_scanned_corpus(docs)
+    out = str(tmp_path / "ocr_table")
+    ocr = OcrOptions(do_ocr=True)
+    extract_with_checkpoint(corpus, out, num_buckets=4, batch_buckets=2, ocr=ocr)
+    got = spark.read.parquet(out).select("doc_id", "spans").orderBy("doc_id")
+    want = extract(corpus, ocr=ocr).orderBy("doc_id")
+    assert [r.asDict() for r in got.collect()] == [r.asDict() for r in want.collect()]
+    # with OCR on, the scanned page contributed an ocr_text span
+    kinds = {s["kind"] for r in got.collect() for s in r["spans"]}
+    assert "ocr_text" in kinds
