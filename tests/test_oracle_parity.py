@@ -19,11 +19,15 @@ TABLES = (
 ).split()
 
 
-def _duck(sql: str):
+def _duck_at(sql: str, sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con.execute(sql).fetch_df()
+
+
+def _duck(sql: str):
+    return _duck_at(sql, SF_DIR)
 
 
 def _norm_cell(v):
