@@ -89,9 +89,11 @@ class CommitLog:
                 finally:
                     stream.close()
                 try:
-                    out.append((name, json.loads(data)))
+                    payload = json.loads(data)
                 except ValueError:
                     continue  # torn manifest == never written
+                if isinstance(payload, dict) and "buckets" in payload:
+                    out.append((name, payload))
         else:
             if not os.path.isdir(self.dir):
                 return []
@@ -100,9 +102,11 @@ class CommitLog:
                     continue
                 try:
                     with open(os.path.join(self.dir, name)) as f:
-                        out.append((name, json.load(f)))
+                        payload = json.load(f)
                 except ValueError:
                     continue
+                if isinstance(payload, dict) and "buckets" in payload:
+                    out.append((name, payload))
         return [payload for _, payload in sorted(out)]
 
     def completed_buckets(self) -> set[int]:
@@ -131,6 +135,7 @@ class CommitLog:
             finally:
                 stream.close()
             if not fs.rename(tmp, Path(os.path.join(self.dir, final_name))):
+                fs.delete(tmp, False)  # don't strand the temp file
                 raise IOError(f"commit manifest publish failed for seq {seq}")
         else:
             os.makedirs(self.dir, exist_ok=True)

@@ -232,22 +232,29 @@ def cosine(a: Column, b: Column, scale: int = 6) -> Column:
     return F.round(dot / (F.sqrt(na) * F.sqrt(nb)), scale)
 
 
-def srp_planes(dim: int, n_bits: int) -> list[list[float]]:
-    """Deterministic signed-random-projection hyperplanes, derived from
-    the md5 hash family so the DuckDB oracle can regenerate them:
-    component j of plane p = (md5_long('srp-{p}-{j}') % 2001 - 1000)/1000.
-    Driver-side constants (broadcast as literals into the plan).
-    """
+def md5_grid(prefix: str, rows: int, dim: int) -> list[list[float]]:
+    """Deterministic float grid from the md5 family: component j of
+    row r = (md5_long('{prefix}-{r}-{j}') % 2001 - 1000)/1000 — the
+    ONE construction behind SRP hyperplanes and IVF centroids, so both
+    engines regenerate identical constants from the prefix alone
+    (SQL twin: plans/_sql.md5_grid_cte)."""
     import hashlib
 
-    planes = []
-    for p in range(n_bits):
+    grid = []
+    for r in range(rows):
         row = []
         for j in range(dim):
-            h = int(hashlib.md5(f"srp-{p}-{j}".encode()).hexdigest()[:8], 16)
+            h = int(hashlib.md5(f"{prefix}-{r}-{j}".encode()).hexdigest()[:8], 16)
             row.append((h % 2001 - 1000) / 1000.0)
-        planes.append(row)
-    return planes
+        grid.append(row)
+    return grid
+
+
+def srp_planes(dim: int, n_bits: int) -> list[list[float]]:
+    """Deterministic signed-random-projection hyperplanes
+    (md5_grid family, prefix 'srp'); driver-side constants broadcast
+    as literals into the plan."""
+    return md5_grid("srp", n_bits, dim)
 
 
 def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
@@ -274,18 +281,8 @@ def srp_signature(vec: Column, planes: list[list[float]]) -> Column:
 
 
 def ivf_centroids(dim: int, n_cells: int) -> list[list[float]]:
-    """Deterministic IVF coarse centroids from the md5 family (the
-    fixed-quantizer twin of ``srp_planes``): component j of centroid c
-    = (md5_long('ivf-{c}-{j}') % 2001 - 1000)/1000. The DuckDB oracle
-    regenerates them, so cell assignment — and therefore the whole
-    probe pipeline — is exactly cross-engine-checkable."""
-    import hashlib
-
-    cents = []
-    for c in range(n_cells):
-        row = []
-        for j in range(dim):
-            h = int(hashlib.md5(f"ivf-{c}-{j}".encode()).hexdigest()[:8], 16)
-            row.append((h % 2001 - 1000) / 1000.0)
-        cents.append(row)
-    return cents
+    """Deterministic IVF coarse centroids (md5_grid family, prefix
+    'ivf' — the fixed-quantizer twin of ``srp_planes``). The DuckDB
+    oracle regenerates them, so cell assignment — and therefore the
+    whole probe pipeline — is exactly cross-engine-checkable."""
+    return md5_grid("ivf", n_cells, dim)

@@ -51,7 +51,16 @@ def asof_join(
 
     ``tolerance_seconds`` drops matches older than the window (the
     pandas ``merge_asof`` tolerance semantic).
+
+    ``right_cols`` must not collide with ``left`` column names (the
+    output carries both sets unrenamed; pandas would suffix — here the
+    caller aliases explicitly, so collisions raise upfront).
     """
+    clash = set(right_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"right_cols {sorted(clash)} collide with left columns; alias one side"
+        )
     r = right.select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
@@ -105,8 +114,11 @@ def connected_components(
 ) -> DataFrame:
     """``nodes(id)`` + undirected ``edges(src, dst)`` →
     ``(id, label)`` with label = MIN node id of the connected
-    component. ``max_iter`` bounds propagation rounds (component
-    diameter ≤ 2^max_iter is fully labeled)."""
+    component. Labels travel ONE hop per round, so components are
+    fully labeled only when ``max_iter`` ≥ the component diameter
+    (pinned by tests/test_asof_cc.py); dedup graphs are shallow
+    cliques — see the module docstring for the O(log n) alternative
+    if deep chains ever appear."""
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

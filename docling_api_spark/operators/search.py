@@ -175,6 +175,10 @@ def ivf_fixed_topk(
     scale, nprobe pruning) but every step is reproducible from
     constants — this pins the IVF *algorithm* exactly against the SQL
     oracle, while ``ivf_topk``'s KMeans recall stays pytest-gated.
+
+    ``query`` must have exactly ONE row (same contract as knn_topk /
+    ann_topk / ivf_topk): the probe ranking and the rescoring
+    cross-join both assume a single query vector.
     """
     from pyspark.sql import Window as W
 

@@ -36,6 +36,12 @@ def salted_join(
     Only ``inner``/``left`` joins are supported: for right/full joins
     the replicated small side would emit each unmatched row
     ``salt_buckets`` times, silently breaking row-equality.
+
+    Limitation: the salt must derive from NON-key columns to spread a
+    hot key. The keys-only fallback below keeps the plan valid but the
+    salt is then constant per key — no skew mitigation for that input
+    shape (a keys-only hot-key table has no row identity to spread on;
+    pre-attach a row discriminator if that case matters).
     """
     if how not in ("inner", "left", "leftouter", "left_outer"):
         raise ValueError(f"salted_join supports inner/left joins only, got how={how!r}")

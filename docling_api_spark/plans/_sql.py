@@ -81,14 +81,20 @@ def cosine(a: str, b: str, dim: int, scale: int = 6) -> str:
     return f"ROUND(({dot})/(sqrt({na})*sqrt({nb})), {scale})"
 
 
-def srp_planes_cte(dim: int, n_bits: int) -> str:
-    """CTE body ``planes(p, pl)`` — hyperplanes regenerated from the
-    hash family (= functions.hashing.srp_planes)."""
-    comp = md5long(f"'srp-'||p||'-'||j")
+def md5_grid_cte(name: str, prefix: str, rows: int, dim: int, idcol: str, veccol: str) -> str:
+    """CTE body ``name(idcol, veccol)`` — the md5_grid constant family
+    (= functions.hashing.md5_grid), shared by SRP planes and IVF
+    centroids so both engines derive identical grids from the prefix."""
+    comp = md5long(f"'{prefix}-'||{idcol}||'-'||j")
     return (
-        f"planes AS (SELECT p, [(({comp}) % 2001 - 1000)/1000.0 "
-        f"for j in range(0,{dim})] AS pl FROM range(0,{n_bits}) t(p))"
+        f"{name} AS (SELECT {idcol}, [(({comp}) % 2001 - 1000)/1000.0 "
+        f"for j in range(0,{dim})] AS {veccol} FROM range(0,{rows}) t({idcol}))"
     )
+
+
+def srp_planes_cte(dim: int, n_bits: int) -> str:
+    """CTE body ``planes(p, pl)`` (= functions.hashing.srp_planes)."""
+    return md5_grid_cte("planes", "srp", n_bits, dim, "p", "pl")
 
 
 def srp_sigs_cte(src: str, id_col: str, vec_col: str, dim: int) -> str:
@@ -131,10 +137,5 @@ dup_vectors AS (
 
 
 def ivf_centroids_cte(dim: int, n_cells: int) -> str:
-    """CTE body ``cents(c, cv)`` — deterministic IVF coarse centroids
-    regenerated from the hash family (= functions.hashing.ivf_centroids)."""
-    comp = md5long("'ivf-'||c||'-'||j")
-    return (
-        f"cents AS (SELECT c, [(({comp}) % 2001 - 1000)/1000.0 "
-        f"for j in range(0,{dim})] AS cv FROM range(0,{n_cells}) t(c))"
-    )
+    """CTE body ``cents(c, cv)`` (= functions.hashing.ivf_centroids)."""
+    return md5_grid_cte("cents", "ivf", n_cells, dim, "c", "cv")

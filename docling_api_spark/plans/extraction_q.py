@@ -420,7 +420,7 @@ def extract_pptx_roundtrip(spark, sf_dir):
     """,
 )
 def extract_error_rows(spark, sf_dir):
-    from docling_api_spark.operators.extract import extract_errors
+    from docling_api_spark.operators.extract import ERROR_KIND, extract_flat, reassemble
     from docling_api_spark.sources.catalog import wrap_documents_as_pdf_corpus
 
     corpus = wrap_documents_as_pdf_corpus(load(spark, sf_dir, "documents"))
@@ -441,15 +441,28 @@ def extract_error_rows(spark, sf_dir):
         ),
     )
     corpus = corpus.withColumn("spans", poison)
-    ok = extract(corpus).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.lit("ok").alias("status"),
-        F.lit("").alias("error_kind"),
+    # ONE kernel pass feeds both legs (this corpus is all multi-span,
+    # so reassemble+no-error-filter ≡ extract(); a second extraction
+    # pass would double the dominant per-span CPU)
+    flat = extract_flat(corpus, keep_errors=True).persist()
+    ok = (
+        reassemble(flat)
+        .filter(~F.exists("spans", lambda sp: sp["kind"] == ERROR_KIND))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit("ok").alias("status"),
+            F.lit("").alias("error_kind"),
+        )
     )
-    errs = extract_errors(corpus).select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        "status",
-        F.split("error_message", ":").getItem(0).alias("error_kind"),
+    errs = (
+        flat.filter(F.col("kind") == ERROR_KIND)
+        .groupBy("doc_id")
+        .agg(F.min("text").alias("error_message"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit("error").alias("status"),
+            F.split("error_message", ":").getItem(0).alias("error_kind"),
+        )
     )
     return ok.unionByName(errs)
 

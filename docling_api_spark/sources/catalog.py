@@ -171,6 +171,16 @@ def wrap_documents_as_docx_corpus(docs: DataFrame) -> DataFrame:
     )
 
 
+def _xml_escape(col):
+    """Entity-escape free text before embedding it in the XML-ish
+    corpus models (& first, then angle brackets) — the kernels
+    unescape, so the extraction round-trip restores the original even
+    for text containing markup characters."""
+    return F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(col, "&", "&amp;"), "<", "&lt;"), ">", "&gt;"
+    )
+
+
 def wrap_documents_as_xlsx_corpus(docs: DataFrame) -> DataFrame:
     """documents → simplified-SpreadsheetML corpus for the XLSX kernel
     (kernels/xlsx.py): one raw span per worksheet (1-based sheet index
@@ -188,7 +198,7 @@ def wrap_documents_as_xlsx_corpus(docs: DataFrame) -> DataFrame:
         F.lit("</c></row></sheet>"),
     )
     sheet2 = F.concat(
-        F.lit('<sheet name="content"><row><c>doc</c><c>'), F.col("text"),
+        F.lit('<sheet name="content"><row><c>doc</c><c>'), _xml_escape(F.col("text")),
         F.lit("</c></row></sheet>"),
     )
     span = lambda txt, off: F.struct(  # noqa: E731
@@ -228,7 +238,8 @@ def wrap_documents_as_pptx_corpus(docs: DataFrame) -> DataFrame:
     )
     slide2 = F.concat(
         F.lit('<p:sp type="title"><a:p><a:t>Details for '), did,
-        F.lit('</a:t></a:p></p:sp><p:sp type="body"><a:p><a:t>'), F.col("text"),
+        F.lit('</a:t></a:p></p:sp><p:sp type="body"><a:p><a:t>'),
+        _xml_escape(F.col("text")),
         F.lit('</a:t></a:p></p:sp><p:pic r:embed="'), did, F.lit('/s0"/>'),
     )
     span = lambda txt, off: F.struct(  # noqa: E731
@@ -254,7 +265,15 @@ def wrap_documents_as_scanned_corpus(docs: DataFrame) -> DataFrame:
     """
     did = F.col("doc_id").cast("string")
     page1 = F.concat(F.lit("BLOCK 0,0,100,10,heading|Heading for document "), did)
-    page2 = F.concat(F.lit("SCAN page 2 of document "), did, F.lit("\nLINE "), F.col("text"))
+    # one LINE per text line: multi-line text yields one ocr_text span
+    # per line (real OCR semantics) instead of silently truncating at
+    # the first newline
+    page2 = F.concat(
+        F.lit("SCAN page 2 of document "),
+        did,
+        F.lit("\nLINE "),
+        F.regexp_replace(F.col("text"), "\n", "\nLINE "),
+    )
     span = lambda kind, txt, off: F.struct(  # noqa: E731
         F.lit(kind).alias("kind"),
         txt.alias("text"),

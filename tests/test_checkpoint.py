@@ -97,3 +97,23 @@ def test_checkpointed_extract_with_ocr_matches_direct(spark, tmp_path):
     # with OCR on, the scanned page contributed an ocr_text span
     kinds = {s["kind"] for r in got.collect() for s in r["spans"]}
     assert "ocr_text" in kinds
+
+
+def test_foreign_or_torn_manifest_tolerated(spark, tmp_path):
+    """A commit-*.json that is valid JSON but not a manifest (or torn
+    non-JSON) must read as never-written, not crash resume."""
+    import json
+    import os
+
+    from docling_api_spark.checkpoint import CommitLog
+
+    table = str(tmp_path / "t")
+    log = CommitLog(table, spark)
+    log.commit(0, [1, 2], {"docs": 5, "spans": 5, "chars": 10})
+    os.makedirs(f"{table}/_commits", exist_ok=True)
+    with open(f"{table}/_commits/commit-000099.json", "w") as f:
+        json.dump({"unrelated": True}, f)  # valid JSON, no 'buckets'
+    with open(f"{table}/_commits/commit-000098.json", "w") as f:
+        f.write('{"buckets": [3')  # torn
+    assert log.completed_buckets() == {1, 2}
+    assert len(log.commits()) == 1
