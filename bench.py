@@ -115,6 +115,9 @@ def run_suite(sf_dir: str, cpus: str) -> dict:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # the dedup/search pipelines persist intermediates; drop them so
+        # accumulated cache blocks don't GC-tax later queries' timings
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
 
@@ -128,6 +131,7 @@ def run_suite(sf_dir: str, cpus: str) -> dict:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         extended[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
 
     # flagship extraction throughput (docs/sec, MB/sec) from the
     # documents table the roundtrip query consumed
