@@ -29,7 +29,19 @@ def query(name: str, oracle: str | None = None, prio: int = 50):
     """
 
     def deco(fn):
-        _QUERIES[name] = fn
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # several pipelines persist intermediates (minhash shingles,
+            # simhash/SRP signatures, cluster labels); a harness running
+            # many queries in one session would otherwise accumulate
+            # those caches and pay growing GC tax (measured 3x on late
+            # queries). Dropping caches at entry is correctness-neutral:
+            # an unpersisted InMemoryRelation recomputes.
+            spark.catalog.clearCache()
+            return fn(spark, sf_dir)
+
+        run.__name__ = fn.__name__
+        run.__doc__ = fn.__doc__
+        _QUERIES[name] = run
         _PRIO[name] = prio
         _SEQ[name] = len(_SEQ)
         if oracle is not None:
