@@ -173,3 +173,21 @@ def ingest_end_to_end(spark, sf_dir):
         lambda a, x: a + x,
     )
     return counts.select("doc_id", "chunk_index", "token_count", checksum.alias("checksum"))
+
+
+@query("chunk_documents_hybrid", prio=20)  # sentence-aware policy → rows-only driver check
+def chunk_documents_hybrid(spark, sf_dir):
+    """Hybrid (sentence-aware, heading-tracked) chunking of documents
+    — the reference's actual chunking policy
+    (services/chunking_service.py:40-95). Sentence boundaries aren't
+    ANSI-SQL-expressible, so this registers rows-only for the driver;
+    the policy itself is golden-fixture-tested
+    (tests/test_chunk_embed.py)."""
+    d = load(spark, sf_dir, "documents")
+    chunks = chunk_text_column(d, max_tokens=MAXTOK, policy="hybrid")
+    return chunks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "chunk_index",
+        "content",
+        "token_count",
+    )

@@ -679,3 +679,22 @@ def median_price_by_status(spark, sf_dir):
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("median_price"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "set_intersect", prio=20,
+    # U-family completion: INTERSECT (customers in both segments'
+    # top-balance lists)
+    oracle="""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def set_intersect(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    a = c.filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 0)).select(
+        "c_custkey"
+    )
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.intersect(b)
