@@ -53,18 +53,20 @@ def md5long60(x: str) -> str:
 
 
 def simhash32(t: str) -> str:
+    # Outer CAST: DuckDB's list_sum yields HUGEINT, which the driver
+    # fetches as float64 and hash-distinguishes from Spark's BIGINT.
     return (
-        f"list_sum([CASE WHEN list_sum([CASE WHEN ({md5long('tk')} >> b) & 1 = 1 "
+        f"CAST(list_sum([CASE WHEN list_sum([CASE WHEN ({md5long('tk')} >> b) & 1 = 1 "
         f"THEN 1 ELSE -1 END for tk in {t}]) > 0 THEN 1<<b ELSE 0 END "
-        f"for b in range(0,32)])"
+        f"for b in range(0,32)]) AS BIGINT)"
     )
 
 
 def simhash60(t: str) -> str:
     return (
-        f"list_sum([CASE WHEN list_sum([CASE WHEN ({md5long60('tk')} >> b) & 1 = 1 "
+        f"CAST(list_sum([CASE WHEN list_sum([CASE WHEN ({md5long60('tk')} >> b) & 1 = 1 "
         f"THEN 1 ELSE -1 END for tk in {t}]) > 0 THEN (1::BIGINT)<<b ELSE 0 END "
-        f"for b in range(0,60)])"
+        f"for b in range(0,60)]) AS BIGINT)"
     )
 
 

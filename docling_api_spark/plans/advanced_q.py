@@ -185,16 +185,27 @@ def running_total_window(spark, sf_dir):
     """,
 )
 def dedup_clusters(spark, sf_dir):
+    from docling_api_spark.functions.hashing import md5_long
     from docling_api_spark.operators.asof import connected_components
     from docling_api_spark.plans.dedup_q import dup_corpus
 
     corpus = dup_corpus(spark, sf_dir)
+    # Edge generation joins on a 32-bit content hash (narrow shuffle
+    # key, same md5-prefix family as dedup_exact), not on raw `text` —
+    # at 100 TB the full document body must never be a partitioning
+    # key. The post-join text equality filter removes hash collisions,
+    # so semantics are identical to the raw-text join.
+    hashed = corpus.select(
+        "doc_id", "text", md5_long(F.col("text")).alias("content_hash")
+    )
     pairs = (
-        corpus.alias("a")
+        hashed.alias("a")
         .join(
-            corpus.alias("b"),
-            (F.col("a.text") == F.col("b.text")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            hashed.alias("b"),
+            (F.col("a.content_hash") == F.col("b.content_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(F.col("a.text") == F.col("b.text"))
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     )
     nodes = corpus.select(F.col("doc_id").alias("id"))

@@ -64,6 +64,17 @@ def test_quarantine_filter_adds_no_shuffle(spark):
     assert plan.count("Exchange") == 3, plan
 
 
+def test_cluster_edges_shuffle_on_hash_not_text(spark):
+    """dedup_clusters' edge join must partition on the 32-bit content
+    hash, never on the full document body: at 100 TB a raw-text
+    partitioning key ships every byte through both sides of the
+    shuffle twice. (VERDICT r2 scale-killer #3.)"""
+    plan = _plan(spark, "dedup_clusters")
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "text#" not in line.split("hashpartitioning", 1)[1], line
+
+
 def test_dedup_pipelines_never_cartesian(spark):
     """The banded-LSH and pigeonhole-band joins must stay keyed
     self-joins — a cartesian (all-pairs) plan is the scale failure the
