@@ -459,18 +459,28 @@ def main() -> None:
             0,
             {
                 "trial": "auto",
+                "ts": int(time.time()),
                 "scaling_efficiency": rep["scaling_efficiency"],
                 "docs_per_sec": [lv["docs_per_sec"] for lv in rep["levels"]],
             },
         )
-        best = rep
-        if prev.get("scaling_efficiency", -1) > rep["scaling_efficiency"]:
-            best = {k: v for k, v in prev.items() if k not in ("trials", "note")}
-        best["trials"] = trials
+        # the LATEST run is the representative top-level numbers — a
+        # regression must be visible at the top, not buried in trials.
+        # The historical best stays under best_trial (host-shared box:
+        # absolute throughput swings ±30%, so best-clean is the fairest
+        # cross-round comparison, but never silently the headline).
+        out = dict(rep)
+        out["measured_at"] = int(time.time())
+        prev_best = prev.get("best_trial") or {
+            k: v for k, v in prev.items() if k in ("scaling_efficiency", "levels")
+        }
+        cands = [c for c in (prev_best, rep) if c.get("scaling_efficiency") is not None]
+        out["best_trial"] = max(cands, key=lambda c: c["scaling_efficiency"])
+        out["trials"] = trials
         if prev.get("note"):
-            best["note"] = prev["note"]
+            out["note"] = prev["note"]
         with open(path, "w") as f:
-            json.dump(best, f, indent=2)
+            json.dump(out, f, indent=2)
         print(json.dumps(rep))
         return
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

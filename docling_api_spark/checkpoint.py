@@ -109,6 +109,35 @@ class CommitLog:
                     out.append((name, payload))
         return [payload for _, payload in sorted(out)]
 
+    def _manifest_names(self) -> list[str]:
+        """ALL commit-*.json filenames, parseable or not."""
+        if self.spark is not None:
+            fs, Path = self._fs()
+            d = Path(self.dir)
+            if not fs.exists(d):
+                return []
+            names = [st.getPath().getName() for st in fs.listStatus(d)]
+        else:
+            if not os.path.isdir(self.dir):
+                return []
+            names = os.listdir(self.dir)
+        return [n for n in names if n.startswith("commit-") and n.endswith(".json")]
+
+    def next_seq(self) -> int:
+        """1 + the max seq across ALL commit manifest filenames —
+        including torn/unparseable ones. Counting only parseable
+        manifests would collide the next commit with an existing valid
+        one when a torn lower-seq file exists: the Hadoop lane's rename
+        then fails every resume, and the POSIX lane silently overwrites
+        a valid manifest."""
+        seqs = []
+        for name in self._manifest_names():
+            try:
+                seqs.append(int(name[len("commit-") : -len(".json")]))
+            except ValueError:
+                continue
+        return max(seqs) + 1 if seqs else 0
+
     def completed_buckets(self) -> set[int]:
         done: set[int] = set()
         for payload in self._manifests():
@@ -174,7 +203,7 @@ def extract_with_checkpoint(
     pending = [b for b in range(num_buckets) if b not in done]
 
     processed = 0
-    seq = len(log.commits())
+    seq = log.next_seq()
     try:
         for i in range(0, len(pending), batch_buckets):
             group = pending[i : i + batch_buckets]

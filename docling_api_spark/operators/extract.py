@@ -111,6 +111,17 @@ def extract_flat(
     ``keep_errors`` keeps the ``ERROR_KIND`` quarantine rows in the
     output (callers that want the error side-table or whole-doc
     exclusion); by default they are filtered out.
+
+    **Partial-doc contract**: dropping error rows is span-level — a
+    multi-span doc whose page 3 errored still yields its pages 1-2
+    spans here. That is deliberate: span views (per-page export, media/
+    table sidecars) stay useful for the intact pages, and a whole-doc
+    gate would cost a per-call shuffle or a second kernel pass on the
+    100 TB hot path. Whole-document quarantine semantics (the
+    reference's per-doc status='error', api/routes/documents.py:59-71)
+    live in ``extract`` (drops the full doc) + ``extract_errors`` (the
+    error side-table); callers needing them anti-join on
+    ``extract_errors`` doc_ids.
     """
     spark = corpus.sparkSession
     if salt_partitions is None:
@@ -296,10 +307,28 @@ def extract_errors(
     )
 
 
-def media_table(flat: DataFrame) -> DataFrame:
+# Page-render dimensions: the layout kernel's page model is a fixed
+# 0..100 coordinate space, so a whole-page render has constant pixel
+# dims (US-Letter at ~100 dpi). A real renderer would read them from
+# the rasterized image; the reference does (image_service.py PIL size).
+PAGE_RENDER_W = 850
+PAGE_RENDER_H = 1100
+
+
+def media_table(flat: DataFrame, media_dims: DataFrame | None = None) -> DataFrame:
     """Side table of extracted media (reference ExtractedImage,
     core/models.py:356-394): one row per image span, captions attached
-    when the immediately-following span is a caption."""
+    when the immediately-following span is a caption.
+
+    Documents with NO embedded image spans fall back to one
+    ``media_type='page_render'`` row per page — the reference's
+    whole-page-render path (services/multimodal_service.py:99-152,
+    image_service.py:37-75) when ``document.pictures`` is empty.
+
+    ``media_dims`` (media_ref, width, height — e.g. the decode output
+    of ``operators.multimodal.media_features`` over the payload table)
+    attaches pixel dims to embedded rows via a narrow-key left join;
+    page_render rows carry the kernel's fixed page geometry."""
     img = flat.filter(F.col("kind") == "image")
     from pyspark.sql import Window as W
 
@@ -320,7 +349,7 @@ def media_table(flat: DataFrame) -> DataFrame:
         )
     )
     w2 = W.partitionBy("doc_id").orderBy("raw_offset", "local_order")
-    return cap.withColumn("media_index", F.row_number().over(w2) - 1).select(
+    embedded = cap.withColumn("media_index", F.row_number().over(w2) - 1).select(
         "doc_id",
         "media_ref",
         "media_index",
@@ -329,12 +358,59 @@ def media_table(flat: DataFrame) -> DataFrame:
         "bbox",
         "caption",
     )
+    if media_dims is not None:
+        embedded = embedded.join(
+            media_dims.select("media_ref", "width", "height"), "media_ref", "left"
+        ).select(  # restore column order after the ref-keyed join
+            "doc_id", "media_ref", "media_index", "page_number",
+            "media_type", "bbox", "caption", "width", "height",
+        )
+    else:
+        embedded = embedded.select(
+            "*",
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+        )
+    # page_render fallback: pages of docs that produced no image span
+    wp = W.partitionBy("doc_id").orderBy("page")
+    pages = (
+        flat.filter(F.col("kind") != ERROR_KIND)
+        .select("doc_id", "page")
+        .distinct()
+        .join(img.select("doc_id").distinct(), "doc_id", "left_anti")
+    )
+    page_render = pages.select(
+        "doc_id",
+        F.concat(F.col("doc_id"), F.lit("/page_"), F.col("page").cast("string")).alias(
+            "media_ref"
+        ),
+        (F.row_number().over(wp) - 1).alias("media_index"),
+        F.col("page").alias("page_number"),
+        F.lit("page_render").alias("media_type"),
+        F.lit(None).cast("string").alias("bbox"),
+        F.lit(None).cast("string").alias("caption"),
+        F.lit(PAGE_RENDER_W).alias("width"),
+        F.lit(PAGE_RENDER_H).alias("height"),
+    )
+    return embedded.unionByName(page_render)
+
+
+def _html_escape(col):
+    """HTML entity escape for table cell content (& first, then angle
+    brackets) — the reference's export_to_html emits entity-escaped
+    cells; without it a cell containing markup breaks the render."""
+    return F.replace(
+        F.replace(F.replace(col, F.lit("&"), F.lit("&amp;")), F.lit("<"), F.lit("&lt;")),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
 
 
 def tables_table(flat: DataFrame) -> DataFrame:
     """Side table of extracted tables (reference ExtractedTable,
     core/models.py:315-353): num_rows/num_cols derived from the
-    engine-wide table text format; markdown + csv renders."""
+    engine-wide table text format; markdown + html + csv renders
+    (reference exports all three, services/multimodal_service.py:53-59)."""
     from pyspark.sql import Window as W
 
     w = W.partitionBy("doc_id").orderBy("raw_offset", "local_order")
@@ -362,6 +438,21 @@ def tables_table(flat: DataFrame) -> DataFrame:
         ),
     )
     csv = F.array_join(F.transform(rows, lambda r: F.regexp_replace(r, r" \| ", ",")), "\n")
+    html = F.concat(
+        F.lit("<table>"),
+        F.array_join(
+            F.transform(
+                rows,
+                lambda r: F.concat(
+                    F.lit("<tr><td>"),
+                    F.regexp_replace(_html_escape(r), r" \| ", "</td><td>"),
+                    F.lit("</td></tr>"),
+                ),
+            ),
+            "",
+        ),
+        F.lit("</table>"),
+    )
     out = tbl.select(
         "doc_id",
         "raw_offset",
@@ -371,9 +462,11 @@ def tables_table(flat: DataFrame) -> DataFrame:
         F.size(first_row_cells).cast("int").alias("num_cols"),
         F.when(F.col("next_kind") == "caption", F.col("next_text")).alias("caption"),
         markdown.alias("markdown"),
+        html.alias("html"),
         csv.alias("csv"),
     )
     w2 = W.partitionBy("doc_id").orderBy("raw_offset", "local_order")
     return out.withColumn("table_index", F.row_number().over(w2) - 1).select(
-        "doc_id", "table_index", "page_number", "num_rows", "num_cols", "caption", "markdown", "csv"
+        "doc_id", "table_index", "page_number", "num_rows", "num_cols",
+        "caption", "markdown", "html", "csv",
     )

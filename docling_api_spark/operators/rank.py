@@ -1,0 +1,79 @@
+"""Scale-safe exact global ranking.
+
+``row_number().over(Window.orderBy(...))`` with no partition spec
+forces every row through ONE task (Spark plans an Exchange
+SinglePartition + a single sort) — the classic scale-killer in ranking
+pipelines (the reference's hybrid search / RRF fusion ranks the whole
+corpus, advanced_rag.py:221-234). ``global_rank`` computes the exact
+same 1..N row numbers with ONE parallel shuffle:
+
+1. ``repartitionByRange`` on the order key + ``sortWithinPartitions``
+   — together exactly the distributed sort Spark plans for a global
+   ``orderBy``, parallel by construction;
+2. a per-row ``monotonically_increasing_id`` evaluated above the sort
+   (nondeterministic expressions are never pushed through a Sort, so
+   ids are assigned in sorted order, consecutively within each
+   partition);
+3. per-partition ``(count, min_id)`` — ONE ROW per partition; the only
+   single-task step is a cumulative sum over ≤#partitions rows —
+   broadcast back: ``rank = offset + (id - min_id) + 1``.
+
+Rank exactness does not depend on where the sampled range boundaries
+land: range partition *i* holds strictly-earlier keys than *i+1*, so
+offset + local position is the exact global row number for any split.
+The order key must be total (include a tiebreaker column) or ranks at
+partition boundaries are nondeterministic — same contract as
+``row_number`` itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "rnk",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + exact global ``row_number`` 1..N over ``order_cols``
+    (list of Columns/names, e.g. ``[F.desc("score"), "doc_id"]``)
+    without a single-task global sort."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .select(
+            "*",
+            F.spark_partition_id().alias("__pid"),
+            F.monotonically_increasing_id().alias("__mid"),
+        )
+    )
+    # one row per partition; the cumsum window is bounded by the
+    # cluster's partition count, never by data volume
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.count("*").alias("__cnt"), F.min("__mid").alias("__min"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__cnt").over(
+                    W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__min", "__off")
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            rank_col,
+            (F.col("__off") + (F.col("__mid") - F.col("__min")) + 1).cast("int"),
+        )
+        .drop("__pid", "__mid", "__min", "__off")
+    )

@@ -333,11 +333,10 @@ def bm25_rank(spark, sf_dir):
     """,
 )
 def hybrid_search_rrf(spark, sf_dir):
-    from pyspark.sql import Window as W
-
     from docling_api_spark.functions.hashing import cosine as _cos
     from docling_api_spark.functions.hashing import tokens
     from docling_api_spark.operators.embed import hash_counts, hash_counts_udf
+    from docling_api_spark.operators.rank import global_rank
 
     base = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150).select(
         "doc_id", "text"
@@ -363,18 +362,16 @@ def hybrid_search_rrf(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.sum(term_score).alias("score"))
     )
-    lrank = lex.select(
-        "doc_id", F.row_number().over(W.orderBy(F.desc("score"), "doc_id")).alias("rnk")
-    )
+    # scale-safe exact global rank (operators/rank.py): distributed
+    # range sort + per-partition numbering — no single-task window
+    lrank = global_rank(lex, [F.desc("score"), "doc_id"]).select("doc_id", "rnk")
 
     # vector leg: doc vectors via the Arrow embedder core; the query
     # vector is a driver-side constant (literal array in the plan)
     vecs = base.select("doc_id", hash_counts_udf(384)(F.col("text")).alias("vec"))
     qvec = F.array(*[F.lit(int(x)) for x in hash_counts(" ".join(_BM25_TERMS), 384)])
     sim = vecs.select("doc_id", _cos(F.col("vec"), qvec, 6).alias("cos"))
-    vrank = sim.select(
-        "doc_id", F.row_number().over(W.orderBy(F.desc("cos"), "doc_id")).alias("rnk")
-    )
+    vrank = global_rank(sim, [F.desc("cos"), "doc_id"]).select("doc_id", "rnk")
 
     u = lrank.unionByName(vrank)
     return (

@@ -138,15 +138,94 @@ def extract_media_sidecar(spark, sf_dir):
 
 
 @query(
+    "media_page_render_fallback", prio=8,
+    # D5 page_render fallback (reference multimodal_service.py:99-152,
+    # image_service.py:37-75): a doc with no embedded pictures yields
+    # one whole-page render row per page. The 2-page PDF corpus has no
+    # figure blocks, so every doc takes the fallback lane.
+    oracle="""
+        SELECT doc_id, doc_id || '/page_1' AS media_ref, 0 AS media_index,
+               1 AS page_number, 'page_render' AS media_type,
+               850 AS width, 1100 AS height
+        FROM documents
+        UNION ALL
+        SELECT doc_id, doc_id || '/page_2', 1, 2, 'page_render', 850, 1100
+        FROM documents
+    """,
+)
+def media_page_render_fallback(spark, sf_dir):
+    from docling_api_spark.sources.catalog import wrap_documents_as_pdf_corpus
+
+    corpus = wrap_documents_as_pdf_corpus(load(spark, sf_dir, "documents"))
+    flat = extract_flat(corpus)
+    return media_table(flat).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "media_ref",
+        "media_index",
+        "page_number",
+        "media_type",
+        "width",
+        "height",
+    )
+
+
+@query(
+    "media_sidecar_dims", prio=8,
+    # D5 width/height (reference ExtractedImage carries pixel dims read
+    # from the decoded image, core/models.py:356-394 + image_service
+    # PIL size): payload table → Arrow decode (media_features) → dims
+    # joined into the extraction sidecar on the narrow media_ref key.
+    # The synthetic payload dims are md5-derived (multimodal.hash_str),
+    # so the oracle reproduces them in SQL exactly.
+    oracle="""
+        SELECT doc_id,
+               doc_id || '/m0' AS media_ref, 0 AS media_index,
+               0 AS page_number, 'embedded' AS media_type,
+               CAST(64 + CAST('0x'||substr(md5(doc_id || '/m0'),1,8) AS BIGINT) % 64 AS INT)
+                   AS width,
+               CAST(48 + CAST('0x'||substr(md5('h' || doc_id || '/m0'),1,8) AS BIGINT) % 48 AS INT)
+                   AS height,
+               'Figure caption ' || doc_id AS caption
+        FROM documents
+    """,
+)
+def media_sidecar_dims(spark, sf_dir):
+    from docling_api_spark.operators.multimodal import (
+        media_features,
+        synthesize_media_table,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = wrap_documents_as_rich_corpus(docs)
+    flat = extract_flat(corpus)
+    dims = media_features(synthesize_media_table(docs)).select(
+        "media_ref", "width", "height"
+    )
+    return media_table(flat, media_dims=dims).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "media_ref",
+        "media_index",
+        "page_number",
+        "media_type",
+        "width",
+        "height",
+        "caption",
+    )
+
+
+@query(
     "extract_tables_sidecar",
     # D4 / reference ExtractedTable (core/models.py:315-353): cell grid
-    # dims + markdown/csv renders
+    # dims + markdown/html/csv renders (all three reference exports,
+    # services/multimodal_service.py:53-59)
     oracle="""
         SELECT doc_id, 0 AS table_index, 0 AS page_number,
                2 AS num_rows, 2 AS num_cols,
                CAST(NULL AS VARCHAR) AS caption,
                '| lang | ' || lang || ' |' || chr(10) || '| --- | --- |' || chr(10) ||
                '| chars | ' || n_chars || ' |' AS markdown,
+               '<table><tr><td>lang</td><td>' || lang || '</td></tr>' ||
+               '<tr><td>chars</td><td>' || n_chars || '</td></tr></table>' AS html,
                'lang,' || lang || chr(10) || 'chars,' || n_chars AS csv
         FROM documents
     """,
@@ -162,6 +241,7 @@ def extract_tables_sidecar(spark, sf_dir):
         "num_cols",
         "caption",
         "markdown",
+        "html",
         "csv",
     )
 

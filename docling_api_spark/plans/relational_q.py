@@ -361,11 +361,17 @@ def set_except(spark, sf_dir):
     """,
 )
 def rrf_fusion(spark, sf_dir):
+    from docling_api_spark.operators.rank import global_rank
+
     d = load(spark, sf_dir, "documents")
-    r1 = d.select(
-        "doc_id", F.row_number().over(W.orderBy(F.desc("n_chars"), "doc_id")).alias("rnk")
+    # scale-safe exact global ranks (operators/rank.py) — the corpus
+    # never serializes through a single-task window
+    r1 = global_rank(
+        d.select("doc_id", "n_chars"), [F.desc("n_chars"), "doc_id"]
+    ).select("doc_id", "rnk")
+    r2 = global_rank(d.select("doc_id", "lang"), ["lang", "doc_id"]).select(
+        "doc_id", "rnk"
     )
-    r2 = d.select("doc_id", F.row_number().over(W.orderBy("lang", "doc_id")).alias("rnk"))
     u = r1.unionByName(r2)
     return (
         u.groupBy("doc_id")

@@ -172,14 +172,21 @@ def stream_sessionize(
         last_ts, n_sessions, n_events = (
             state.get if state.exists else (None, 0, 0)
         )
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(["tsec", "event_id"])
-            for t in pdf["tsec"]:
-                t = int(t)
-                if last_ts is None or t - last_ts > gap_seconds:
-                    n_sessions += 1
-                last_ts = t
-                n_events += 1
+        # one global (ts, event_id) sort per user-batch: a user whose
+        # events span multiple Arrow chunks must not fold chunk-local
+        # orders, or session gaps get over-counted
+        frames = [p for p in pdf_iter if len(p)]
+        batch = (
+            pd.concat(frames, ignore_index=True).sort_values(["tsec", "event_id"])
+            if frames
+            else pd.DataFrame({"tsec": []})
+        )
+        for t in batch["tsec"]:
+            t = int(t)
+            if last_ts is None or t - last_ts > gap_seconds:
+                n_sessions += 1
+            last_ts = t
+            n_events += 1
         state.update((last_ts, n_sessions, n_events))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}

@@ -117,3 +117,32 @@ def test_foreign_or_torn_manifest_tolerated(spark, tmp_path):
         f.write('{"buckets": [3')  # torn
     assert log.completed_buckets() == {1, 2}
     assert len(log.commits()) == 1
+    # next_seq derives from ALL manifest filenames (even torn ones):
+    # counting only parseable manifests would hand out seq=1, colliding
+    # with... nothing here, but after the torn 98/99 the next commit
+    # must go to 100, never overwrite/collide with an existing name
+    assert log.next_seq() == 100
+    log.commit(log.next_seq(), [4], {"docs": 1, "spans": 1, "chars": 1})
+    assert log.completed_buckets() == {1, 2, 4}
+
+
+def test_torn_lower_seq_never_collides_resume(spark, tmp_path):
+    """Regression (ADVICE r2): a torn manifest with a LOWER seq than an
+    existing valid one must not make the next commit collide with the
+    valid manifest (Hadoop rename → crash loop; POSIX → silent
+    overwrite losing committed buckets)."""
+    import os
+
+    from docling_api_spark.checkpoint import CommitLog
+
+    table = str(tmp_path / "t")
+    log = CommitLog(table, spark)
+    log.commit(5, [1], {"docs": 1, "spans": 1, "chars": 1})
+    os.makedirs(f"{table}/_commits", exist_ok=True)
+    with open(f"{table}/_commits/commit-000003.json", "w") as f:
+        f.write("{torn")
+    # old behavior: len(commits()) == 1 → seq 1... later colliding with
+    # commit-000005.json; new behavior: max over all filenames + 1
+    assert log.next_seq() == 6
+    log.commit(log.next_seq(), [2], {"docs": 1, "spans": 1, "chars": 1})
+    assert log.completed_buckets() == {1, 2}

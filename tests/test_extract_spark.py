@@ -109,6 +109,60 @@ def test_per_page_and_side_tables(spark):
     assert tabs.filter(~F.col("markdown").contains("---")).count() == 0
 
 
+def test_table_html_render_escapes_cells(spark):
+    """The html export entity-escapes cell content (reference
+    export_to_html emits escaped cells): a cell containing markup must
+    not break the <table> structure."""
+    from docling_api_spark.operators.extract import FLAT_DDL
+
+    flat = spark.createDataFrame(
+        [("d1", 0, 0, "table", "a & b | <x>\nc | d>e", "", 0, None)],
+        schema=FLAT_DDL,
+    )
+    row = tables_table(flat).collect()[0]
+    assert row.html == (
+        "<table><tr><td>a &amp; b</td><td>&lt;x&gt;</td></tr>"
+        "<tr><td>c</td><td>d&gt;e</td></tr></table>"
+    )
+    assert row.num_rows == 2 and row.num_cols == 2
+
+
+def test_media_page_render_fallback_lanes(spark):
+    """Docs with an image span get embedded rows only; docs without
+    get one page_render row per page with the fixed render geometry —
+    mirroring the reference's pictures-empty fallback
+    (multimodal_service.py:99-152)."""
+    from docling_api_spark.operators.extract import (
+        FLAT_DDL,
+        PAGE_RENDER_H,
+        PAGE_RENDER_W,
+    )
+
+    mk = lambda doc, off, kind, text, ref, page: (  # noqa: E731
+        doc, off, 0, kind, text, ref, page, None)
+    flat = spark.createDataFrame(
+        [
+            mk("with_img", 1, "text", "body", "", 1),
+            mk("with_img", 2, "image", "", "with_img/m0", 2),
+            mk("no_img", 1, "text", "p1", "", 1),
+            mk("no_img", 2, "text", "p2", "", 2),
+        ],
+        schema=FLAT_DDL,
+    )
+    rows = {(r.doc_id, r.media_ref): r for r in media_table(flat).collect()}
+    assert set(rows) == {
+        ("with_img", "with_img/m0"),
+        ("no_img", "no_img/page_1"),
+        ("no_img", "no_img/page_2"),
+    }
+    pr = rows[("no_img", "no_img/page_1")]
+    assert pr.media_type == "page_render" and pr.media_index == 0
+    assert pr.page_number == 1 and pr.width == PAGE_RENDER_W and pr.height == PAGE_RENDER_H
+    assert rows[("no_img", "no_img/page_2")].media_index == 1
+    emb = rows[("with_img", "with_img/m0")]
+    assert emb.media_type == "embedded" and emb.width is None and emb.height is None
+
+
 def test_error_quarantine_never_fails_the_task(spark):
     """A kernel exception on one doc must not kill the batch: clean
     docs extract normally, the poisoned doc lands in extract_errors

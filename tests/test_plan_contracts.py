@@ -75,6 +75,19 @@ def test_cluster_edges_shuffle_on_hash_not_text(spark):
             assert "text#" not in line.split("hashpartitioning", 1)[1], line
 
 
+def test_ranking_queries_have_no_single_task_corpus_window(spark):
+    """rrf_fusion and hybrid_search_rrf rank via global_rank
+    (operators/rank.py): every Window in the plan must run over the
+    tiny per-partition offsets (__pid), never an unpartitioned spec
+    over the corpus rows — the single-task sort VERDICT r2 flagged."""
+    for name in ("rrf_fusion", "hybrid_search_rrf"):
+        plan = _plan(spark, name)
+        assert "rangepartitioning" in plan, name
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line:
+                assert "__pid" in line, f"{name}: {line}"
+
+
 def test_dedup_pipelines_never_cartesian(spark):
     """The banded-LSH and pigeonhole-band joins must stay keyed
     self-joins — a cartesian (all-pairs) plan is the scale failure the

@@ -1,0 +1,54 @@
+"""global_rank (operators/rank.py): exact row_number equivalence +
+the scale contract (no single-task sort of the ranked data)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from docling_api_spark.operators.rank import global_rank
+
+
+def _ref_rank(df, order_cols):
+    return df.withColumn("rnk", F.row_number().over(W.orderBy(*order_cols)))
+
+
+def test_global_rank_equals_row_number(spark):
+    df = spark.range(0, 997).select(
+        F.col("id"),
+        (F.col("id") * 2654435761 % 1000).alias("score"),  # many ties
+    )
+    order = [F.desc("score"), "id"]
+    got = {r.id: r.rnk for r in global_rank(df, order, num_partitions=7).collect()}
+    want = {r.id: r.rnk for r in _ref_rank(df, order).collect()}
+    assert got == want
+
+
+def test_global_rank_empty_and_tiny(spark):
+    df = spark.range(0, 0).select(F.col("id"), F.col("id").alias("score"))
+    assert global_rank(df, ["score", "id"], num_partitions=4).count() == 0
+    one = spark.range(0, 1).select(F.col("id"), F.col("id").alias("score"))
+    assert global_rank(one, ["score", "id"], num_partitions=8).collect()[0].rnk == 1
+
+
+def test_global_rank_more_partitions_than_rows(spark):
+    df = spark.range(0, 5).select(F.col("id"), (4 - F.col("id")).alias("score"))
+    rows = global_rank(df, [F.desc("score"), "id"], num_partitions=32).collect()
+    assert {r.id: r.rnk for r in rows} == {0: 1, 1: 2, 2: 3, 3: 4, 4: 5}
+
+
+def test_global_rank_plan_has_no_corpus_window(spark):
+    """The scale contract: ranking shuffles via rangepartitioning (a
+    parallel distributed sort); the only Window in the plan runs over
+    the per-partition offsets table (__pid), never the ranked rows."""
+    df = spark.range(0, 100).select(F.col("id"), F.col("id").alias("score"))
+    plan = (
+        global_rank(df, [F.desc("score"), "id"], num_partitions=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "__pid" in line, line
