@@ -68,7 +68,8 @@ HEADLINE = [
     "ingest_end_to_end",
 ]
 
-# round-2 additions, timed outside the frozen headline set
+# round-2 additions — FROZEN as of round 3 (round-over-round
+# comparability, like HEADLINE)
 EXTENDED = [
     "extract_xlsx_roundtrip",
     "extract_pptx_roundtrip",
@@ -87,6 +88,51 @@ EXTENDED = [
     "cube_status_priority",
     "running_total_window",
 ]
+
+# round-3 additions, timed outside both frozen sets
+EXTENDED_R3 = [
+    "media_page_render_fallback",
+    "media_sidecar_dims",
+    "chunk_hybrid_invariants",
+]
+
+
+def _ivf_build_probe(spark, sf_dir: str, n_probes: int = 5) -> dict:
+    """IVF in its scale deployment shape: index built ONCE (KMeans fit
+    + cell assignment, persisted), then served probe-by-probe — the
+    per-query number a cluster actually pays, vs the fit-per-query
+    artifact of timing ivf_ann_topk standalone."""
+    from pyspark.sql import functions as F
+
+    from docling_api_spark.operators.search import (
+        ivf_centers_df,
+        ivf_index,
+        ivf_probe,
+    )
+    from docling_api_spark.sources.catalog import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    t0 = time.perf_counter()
+    model, indexed = ivf_index(emb, n_cells=16)
+    indexed = indexed.persist()
+    indexed.write.format("noop").mode("overwrite").save()  # materialize index
+    cent_df = ivf_centers_df(spark, model)
+    build_sec = round(time.perf_counter() - t0, 3)
+
+    probe_times = []
+    for i in range(n_probes):
+        q = emb.filter(F.col("vec_id") == i).select(F.col("embedding").alias("qv"))
+        t0 = time.perf_counter()
+        ivf_probe(indexed, cent_df, q, k=5, nprobe=4).collect()
+        probe_times.append(time.perf_counter() - t0)
+    indexed.unpersist()
+    probe_times.sort()
+    return {
+        "ivf_index_build_sec": build_sec,
+        "ivf_probe_median_ms": round(probe_times[len(probe_times) // 2] * 1000, 1),
+        "ivf_probe_min_ms": round(probe_times[0] * 1000, 1),
+        "ivf_probes": n_probes,
+    }
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -133,6 +179,21 @@ def run_suite(sf_dir: str, cpus: str) -> dict:
         extended[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
 
+    # round-3 operators, same per-query discipline, separate section
+    extended_r3: dict[str, float] = {}
+    for name in EXTENDED_R3:
+        fn = qmap.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        extended_r3[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+
+    # IVF in deployment shape: build once, probe many (BENCH item 10)
+    ivf = _ivf_build_probe(spark, sf_dir)
+    spark.catalog.clearCache()
+
     # flagship extraction throughput (docs/sec, MB/sec) from the
     # documents table the roundtrip query consumed
     extras: dict[str, float] = {}
@@ -150,6 +211,9 @@ def run_suite(sf_dir: str, cpus: str) -> dict:
         "queries": timings,
         "queries_extended_r2": extended,
         "extended_total_sec": round(sum(extended.values()), 3),
+        "queries_extended_r3": extended_r3,
+        "extended_r3_total_sec": round(sum(extended_r3.values()), 3),
+        **ivf,
         "sf": _sf_of(sf_dir),
         "cpus": cpus,
         **extras,

@@ -122,13 +122,44 @@ def ivf_topk(
 
     Approximate by design (no SQL oracle; recall vs brute force is
     pytest-checked) — the scale path when SRP-LSH bucket skew matters.
+
+    Convenience wrapper: fits the index inline. At scale, build the
+    index ONCE (``ivf_index`` + ``ivf_centers_df``) and serve many
+    queries through ``ivf_probe`` over the persisted indexed table —
+    the deployment shape the bench times separately.
     """
     spark = corpus.sparkSession
     model, indexed = ivf_index(corpus, n_cells=n_cells, vec_col=vec_col)
+    cent_df = ivf_centers_df(spark, model)
+    return ivf_probe(
+        indexed, cent_df, query, k=k, nprobe=nprobe,
+        vec_col=vec_col, id_col=id_col, scale=scale,
+    )
+
+
+def ivf_centers_df(spark, model) -> DataFrame:
+    """KMeans cluster centers as a (cell, centroid) DataFrame — the
+    tiny broadcast side of every probe."""
     centers = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    cent_df = spark.createDataFrame(centers, "cell int, centroid array<double>")
+    return spark.createDataFrame(centers, "cell int, centroid array<double>")
+
+
+def ivf_probe(
+    indexed: DataFrame,
+    cent_df: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Probe stage only: nearest ``nprobe`` cells by centroid distance,
+    exact cosine rescoring inside them. ``indexed`` is the built index
+    (vector table + ``cell`` column — persisted/partitioned by cell at
+    scale); ``cent_df`` the (cell, centroid) table."""
     probe_cells = (
         query.crossJoin(cent_df)
         .select(
