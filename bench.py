@@ -94,6 +94,8 @@ EXTENDED_R3 = [
     "media_page_render_fallback",
     "media_sidecar_dims",
     "chunk_hybrid_invariants",
+    "boilerplate_line_dedup",
+    "multi_query_knn_rrf",
 ]
 
 

@@ -203,3 +203,46 @@ def embedding_dup_pairs(
         cosine(F.col("l.v"), F.col("r.v"), scale).alias("cos"),
     )
     return pairs.filter(F.col("cos") >= threshold)
+
+
+def boilerplate_line_dedup(
+    docs: DataFrame,
+    max_df: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Line-level boilerplate removal (CCNet/RefinedWeb-style): a line
+    occurring in more than ``max_df`` DISTINCT documents (cookie
+    banners, copyright footers, nav text the HTML strip missed) is
+    dropped from every document; each document's text is rebuilt from
+    its surviving lines in original order.
+
+    Returns (id, clean_text, n_removed).
+
+    Scale shape: lines shuffle/group on the 32-bit md5-prefix line
+    hash (never the line text as a key); the doc-frequency table joins
+    back on the same narrow key; the rebuild is one hash aggregation
+    per doc with a JVM-side array_sort — two shuffles total, both on
+    narrow keys. Grouping by hash (not raw line) is mirrored exactly
+    in the oracle, so the rare 32-bit collision is part of the defined
+    semantics on both engines, not a divergence.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).select("id", "pos", "line", md5_long(F.col("line")).alias("h"))
+    line_df = lines.groupBy("h").agg(
+        F.count_distinct("id").alias("line_df")
+    )
+    joined = lines.join(line_df, "h")
+    keep = F.col("line_df") <= max_df
+    return joined.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.when(keep, F.struct("pos", "line")))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.sum(F.when(~keep, 1).otherwise(0)).alias("n_removed"),
+    )

@@ -250,3 +250,56 @@ def ivf_fixed_topk(
         F.col(id_col), cosine(F.col(vec_col), F.col("qv"), scale).alias("sim")
     )
     return scored.orderBy(F.desc("sim"), id_col).limit(k)
+
+
+def topk_per_group(scored: DataFrame, group_col: str, order_cols: list, k: int) -> DataFrame:
+    """Exact per-group top-k without a per-group full sort: a local
+    (group, input-partition) rank first — parallel, bounded by input
+    partition size — then the final per-group rank over ≤ P·k
+    survivors. Output adds ``rnk`` (1..k per group). The order key
+    must be total within a group (include a tiebreaker)."""
+    from pyspark.sql import Window as W
+
+    local = scored.select("*", F.spark_partition_id().alias("__pid"))
+    w1 = W.partitionBy(group_col, "__pid").orderBy(*order_cols)
+    pruned = local.withColumn("__lr", F.row_number().over(w1)).filter(
+        F.col("__lr") <= k
+    )
+    w2 = W.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        pruned.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .drop("__pid", "__lr")
+    )
+
+
+def multi_knn_rrf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rrf_k: int = 60,
+    final_k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 6,
+) -> DataFrame:
+    """Multi-query KNN with reciprocal-rank fusion (the engine core of
+    the reference's multi_query_search, services/advanced_rag.py:
+    199-252, minus the LLM query generation): every query scores the
+    corpus in ONE broadcast cross join — not N sequential scans — then
+    per-query exact top-k (topk_per_group, no per-query full sort) and
+    the RRF merge 1/(rrf_k + rank).
+
+    ``queries``: (qid, qv) — small, broadcast side."""
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(id_col),
+        F.col("qid"),
+        cosine(F.col(vec_col), F.col("qv"), scale).alias("sim"),
+    )
+    top = topk_per_group(scored, "qid", [F.desc("sim"), F.col(id_col)], k)
+    return (
+        top.groupBy(id_col)
+        .agg(F.round(F.sum(1.0 / (rrf_k + F.col("rnk"))), 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), id_col)
+        .limit(final_k)
+    )

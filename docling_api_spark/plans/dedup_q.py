@@ -207,3 +207,66 @@ def dedup_cascade_survivors(spark, sf_dir):
     near_pairs = dedup_minhash(survivors, threshold=0.8)
     losers = near_pairs.select(F.col("b").alias("doc_id")).distinct()
     return survivors.join(losers, "doc_id", "left_anti").select("doc_id")
+
+
+# Derived multi-line corpus for line-level dedup: the driver documents
+# are single-line, so inject deterministic structure — a newline after
+# every 8th word plus a shared cookie-banner header and copyright
+# footer (df = all docs), the classic boilerplate the HTML strip can't
+# catch because it arrives inside the main content. Same regex both
+# engines.
+_BOILER_HEAD = "please accept our cookie policy to continue"
+_BOILER_FOOT = "copyright corpus site all rights reserved"
+
+
+@query(
+    "boilerplate_line_dedup", prio=8,
+    # CCNet/RefinedWeb-style line-level boilerplate removal: lines in
+    # > max_df distinct docs are dropped, docs rebuilt in line order.
+    # The oracle replays the SAME md5-prefix-32 line-hash grouping, so
+    # semantics (including any 32-bit collision) match by definition.
+    oracle=f"""
+        WITH der AS (
+            SELECT doc_id,
+                   '{_BOILER_HEAD}' || chr(10) ||
+                   regexp_replace(text, '((?:\\w+ ){{7}}\\w+) ', '\\1' || chr(10), 'g') ||
+                   chr(10) || '{_BOILER_FOOT}' AS t2
+            FROM documents
+        ),
+        p AS (SELECT doc_id, string_split(t2, chr(10)) AS parts FROM der),
+        l0 AS (
+            SELECT doc_id, unnest([{{'pos': i, 'line': parts[i]}}
+                                   for i in range(1, len(parts)+1)],
+                                  recursive := true)
+            FROM p
+        ),
+        l AS (SELECT doc_id, pos, line, {S.md5long("line")} AS h FROM l0),
+        ldf AS (SELECT h, COUNT(DISTINCT doc_id) AS line_df FROM l GROUP BY h)
+        SELECT l.doc_id,
+               COALESCE(string_agg(CASE WHEN ldf.line_df <= 100 THEN l.line END,
+                                   chr(10) ORDER BY l.pos), '') AS clean_text,
+               CAST(SUM(CASE WHEN ldf.line_df > 100 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed
+        FROM l JOIN ldf USING (h)
+        GROUP BY l.doc_id
+    """,
+)
+def boilerplate_line_dedup_q(spark, sf_dir):
+    """Line-level boilerplate dedup gate: derived multi-line corpus →
+    operators.dedup.boilerplate_line_dedup → per-doc cleaned text +
+    removed-line count. Every doc loses exactly its two planted
+    boilerplate lines (plus any naturally-repeated short remainder)."""
+    from docling_api_spark.operators.dedup import boilerplate_line_dedup
+
+    d = load(spark, sf_dir, "documents")
+    der = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(_BOILER_HEAD + "\n"),
+            F.regexp_replace("text", r"((?:\w+ ){7}\w+) ", "$1\n"),
+            F.lit("\n" + _BOILER_FOOT),
+        ).alias("text"),
+    )
+    return boilerplate_line_dedup(der, max_df=100).select(
+        F.col("id").alias("doc_id"), "clean_text", "n_removed"
+    )

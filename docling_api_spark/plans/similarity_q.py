@@ -200,3 +200,38 @@ def ivf_fixed_topk(spark, sf_dir):
         n_cells=16,
         nprobe=4,
     )
+
+
+@query(
+    "multi_query_knn_rrf", prio=8,
+    # the engine core of the reference's multi_query_search
+    # (services/advanced_rag.py:199-252): N query variants each rank
+    # the corpus, reciprocal-rank fusion 1/(60 + rank) merges them.
+    # One broadcast cross join scores all queries in a single corpus
+    # pass; per-query top-k via the two-phase exact rank (no per-query
+    # full sort). LLM query generation is out of engine scope — the
+    # variants here are three deterministic query vectors.
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                   WHERE vec_id IN (0, 1, 2)),
+        s AS (SELECT e.vec_id, q.qid, {_COS} AS sim
+              FROM embeddings e CROSS JOIN q),
+        r AS (SELECT vec_id, qid,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY sim DESC, vec_id) AS rnk
+              FROM s)
+        SELECT vec_id, ROUND(SUM(1.0/(60 + rnk)), 6) AS rrf
+        FROM r WHERE rnk <= 5
+        GROUP BY vec_id
+        ORDER BY rrf DESC, vec_id
+        LIMIT 10
+    """,
+)
+def multi_query_knn_rrf(spark, sf_dir):
+    from docling_api_spark.operators.search import multi_knn_rrf
+
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return multi_knn_rrf(e, queries, k=5, rrf_k=60, final_k=10)

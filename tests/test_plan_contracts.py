@@ -88,6 +88,27 @@ def test_ranking_queries_have_no_single_task_corpus_window(spark):
                 assert "__pid" in line, f"{name}: {line}"
 
 
+def test_multi_query_topk_windows_are_partitioned(spark):
+    """multi_query_knn_rrf ranks per query via the two-phase
+    topk_per_group: every Window must be partitioned (by qid / qid+pid)
+    — an empty partition spec would serialize the corpus."""
+    plan = _plan(spark, "multi_query_knn_rrf")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "qid" in line, line
+
+
+def test_boilerplate_dedup_shuffles_on_hash_not_line(spark):
+    """boilerplate_line_dedup groups/joins line frequencies on the
+    32-bit md5 line hash — raw line text must never be a partitioning
+    key (same rule as dedup_clusters)."""
+    plan = _plan(spark, "boilerplate_line_dedup")
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            part = line.split("hashpartitioning", 1)[1]
+            assert "line#" not in part, line
+
+
 def test_dedup_pipelines_never_cartesian(spark):
     """The banded-LSH and pigeonhole-band joins must stay keyed
     self-joins — a cartesian (all-pairs) plan is the scale failure the
