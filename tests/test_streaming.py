@@ -97,6 +97,35 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_stateful_sessionize_across_arrow_chunks(spark, tmp_path):
+    """Regression (ADVICE r2): a user whose events span multiple Arrow
+    chunks must fold in ONE global (ts, event_id) order — per-chunk
+    sorting over-counts sessions. Shuffle the input row order and force
+    tiny Arrow batches so every user's group arrives in many chunks."""
+    from docling_api_spark.plans.registry import queries
+    from docling_api_spark.streaming.pipeline import stream_sessionize
+
+    events_path = str(tmp_path / "events")
+    # adversarial file order: interleave users and reverse time order
+    spark.read.parquet(f"{SF_DIR}/events.parquet").orderBy(
+        F.desc("ts"), F.col("event_id")
+    ).repartition(1).write.parquet(events_path)
+    ckpt = str(tmp_path / "ckpt")
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        q = stream_sessionize(spark, events_path, ckpt, query_name="chunked_sessions")
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM chunked_sessions").collect()))
+    want = sorted(
+        map(tuple, queries()["sessionize_events"](spark, SF_DIR).collect())
+    )
+    assert got == want
+    assert len(got) > 0
+
+
 def test_stream_ingest_end_to_end(spark, tmp_path):
     """Corpus stream → extract → chunk → embed, equal to the batch
     lineage over the same files."""
