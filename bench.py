@@ -96,6 +96,7 @@ EXTENDED_R3 = [
     "chunk_hybrid_invariants",
     "boilerplate_line_dedup",
     "multi_query_knn_rrf",
+    "benchmark_decontamination",
 ]
 
 

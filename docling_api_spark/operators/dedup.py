@@ -246,3 +246,47 @@ def boilerplate_line_dedup(
         ).alias("clean_text"),
         F.sum(F.when(~keep, 1).otherwise(0)).alias("n_removed"),
     )
+
+
+def decontaminate_against(
+    docs: DataFrame,
+    eval_texts: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    at least one n-word shingle (the standard 13-gram check) with a
+    held-out evaluation set. Returns (id, n_hits, contaminated) for
+    ALL documents — the clean subset is ``~contaminated``.
+
+    Scale shape: the eval set's distinct gram hashes are tiny and
+    BROADCAST (eval suites are MBs, corpora are TBs), so the corpus
+    side is a map-only semi probe — no corpus shuffle; the only
+    exchange is the per-doc hit-count aggregation on the id key.
+    """
+    eval_grams = (
+        eval_texts.select(
+            F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("g")
+        )
+        .select(md5_long(F.col("g")).alias("h"))
+        .distinct()
+    )
+    corpus_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("g"),
+    ).select("id", md5_long(F.col("g")).alias("h"))
+    hits = (
+        corpus_grams.join(F.broadcast(eval_grams), "h")
+        .groupBy("id")
+        .agg(F.count_distinct("h").alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -19,10 +19,15 @@ def toks(x: str) -> str:
 
 def shingles3(t: str) -> str:
     """Distinct 3-word shingles of token list ``t`` (1-indexed)."""
-    return (
-        f"list_distinct([{t}[i]||' '||{t}[i+1]||' '||{t}[i+2] "
-        f"for i in range(1, len({t})-1)])"
-    )
+    return shingles(t, 3)
+
+
+def shingles(t: str, n: int) -> str:
+    """Distinct n-word shingles of token list ``t`` (1-indexed;
+    = functions.hashing.word_shingles). range(1, len-(n-2)) is empty
+    for len < n (DuckDB range is ascending-only by default)."""
+    parts = "||' '||".join(f"{t}[i+{j}]" if j else f"{t}[i]" for j in range(n))
+    return f"list_distinct([{parts} for i in range(1, len({t})-{n - 2})])"
 
 
 def minhash(sh: str, num_hashes: int) -> str:

@@ -270,3 +270,41 @@ def boilerplate_line_dedup_q(spark, sf_dir):
     return boilerplate_line_dedup(der, max_df=100).select(
         F.col("id").alias("doc_id"), "clean_text", "n_removed"
     )
+
+
+@query(
+    "benchmark_decontamination", prio=8,
+    # 13-gram benchmark decontamination (standard training-data
+    # hygiene): the eval set is docs 0-4's text; a training doc is
+    # contaminated iff it shares any distinct 13-word shingle with the
+    # eval set. Output covers ALL docs so clean + contaminated counts
+    # are both gated.
+    oracle=f"""
+        WITH ev AS (
+            SELECT DISTINCT {S.md5long("g")} AS h
+            FROM (SELECT unnest({S.shingles(S.toks("text"), 13)}) AS g
+                  FROM documents WHERE doc_id < 5)
+        ),
+        cg AS (
+            SELECT doc_id, {S.md5long("g")} AS h
+            FROM (SELECT doc_id, unnest({S.shingles(S.toks("text"), 13)}) AS g
+                  FROM documents)
+        ),
+        hits AS (
+            SELECT cg.doc_id, COUNT(DISTINCT cg.h) AS n_hits
+            FROM cg JOIN ev USING (h) GROUP BY cg.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+               COALESCE(hits.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+    """,
+)
+def benchmark_decontamination(spark, sf_dir):
+    from docling_api_spark.operators.dedup import decontaminate_against
+
+    d = load(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") < 5).select("text")
+    return decontaminate_against(d, ev, n=13).select(
+        F.col("id").alias("doc_id"), "n_hits", "contaminated"
+    )
