@@ -240,3 +240,70 @@ def test_asof_join_matches_pandas_merge_asof(spark, case):
     got = asof_join(ldf, rdf, "k", "t", "rt", ["rid"]).collect()
     got_map = {int(r["lid"]): (None if r["rid"] is None else int(r["rid"])) for r in got}
     assert got_map == want_map
+
+
+rank_case = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 10**6)),  # (score with ties, id-ish)
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(case=rank_case)
+def test_global_rank_matches_row_number(spark, case):
+    """global_rank is exactly row_number over any data distribution —
+    ties, duplicates, empty input, more partitions than rows."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from docling_api_spark.operators.rank import global_rank
+
+    rows = [(s, i * 100 + j) for j, (s, i) in enumerate(case)]  # unique ids
+    df = spark.createDataFrame(rows, "score int, id long") if rows else (
+        spark.createDataFrame([], "score int, id long")
+    )
+    order = [F.desc("score"), "id"]
+    got = {r.id: r.rnk for r in global_rank(df, order, num_partitions=5).collect()}
+    want = {
+        r.id: r.rnk
+        for r in df.withColumn("rnk", F.row_number().over(W.orderBy(*order))).collect()
+    }
+    assert got == want
+
+
+line_corpus = st.lists(  # doc = list of line indices into a small line pool
+    st.lists(st.integers(0, 9), min_size=1, max_size=8),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(case=line_corpus)
+def test_boilerplate_line_dedup_matches_reference(spark, case):
+    """boilerplate_line_dedup ≡ a direct python reference: drop lines
+    whose doc frequency exceeds the cap, keep order, count removals."""
+    from collections import Counter
+
+    from docling_api_spark.operators.dedup import boilerplate_line_dedup
+
+    pool = [f"line number {i} of shared pool" for i in range(10)]
+    docs = [(d, "\n".join(pool[i] for i in idxs)) for d, idxs in enumerate(case)]
+    max_df = 2
+    df_count = Counter()
+    for _, text in docs:
+        for ln in set(text.split("\n")):
+            df_count[ln] += 1
+    want = {}
+    for d, text in docs:
+        kept = [ln for ln in text.split("\n") if df_count[ln] <= max_df]
+        removed = sum(1 for ln in text.split("\n") if df_count[ln] > max_df)
+        want[d] = ("\n".join(kept), removed)
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.id: (r.clean_text, r.n_removed)
+        for r in boilerplate_line_dedup(sdf, max_df=max_df).collect()
+    }
+    assert got == want
