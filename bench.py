@@ -97,6 +97,7 @@ EXTENDED_R3 = [
     "boilerplate_line_dedup",
     "multi_query_knn_rrf",
     "benchmark_decontamination",
+    "curation_pipeline_audit",
 ]
 
 

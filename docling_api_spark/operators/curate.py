@@ -1,0 +1,117 @@
+"""Corpus curation pipeline: the cheap→expensive filter cascade a
+training-data pipeline runs between extraction and chunking.
+
+    exact dedup → near-dup (MinHash-LSH) → line-level boilerplate
+    removal → quality filter → benchmark decontamination (optional)
+
+Order rationale: exact dedup first (cheapest, shrinks everything
+downstream), near-dup on survivors, line cleanup BEFORE quality
+scoring (a doc that is mostly boilerplate should be judged on its
+surviving content), decontamination last (smallest input). Each stage
+is an existing operator; this module only composes them, so every
+piece stays individually oracle-gated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from docling_api_spark.functions.hashing import tokens
+from docling_api_spark.functions.textstats import quality_score
+from docling_api_spark.operators.dedup import (
+    boilerplate_line_dedup,
+    decontaminate_against,
+    dedup_exact,
+    dedup_minhash,
+)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    quality_threshold: float = 0.3,
+    near_threshold: float = 0.8,
+    line_df_cap: int = 100,
+    eval_texts: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """documents → curated (id, text, quality, stage columns).
+
+    Returns one row per INPUT document with a ``kept`` flag and the
+    ``drop_stage`` that eliminated it (null when kept) — keeping the
+    audit trail is what a production curation run reports; the curated
+    corpus is ``.filter("kept")``.
+    """
+    d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+
+    # 1. exact dedup: survivor = min id per content hash
+    exact_keep = dedup_exact(d, text_col="text", id_col="id").select(
+        F.col("keep_id").alias("id")
+    )
+    after_exact = d.join(exact_keep, "id", "left_semi")
+
+    # 2. near-dup: larger id of each verified pair loses
+    near_losers = (
+        dedup_minhash(after_exact, text_col="text", id_col="id", threshold=near_threshold)
+        .select(F.col("b").alias("id"))
+        .distinct()
+    )
+    after_near = after_exact.join(near_losers, "id", "left_anti")
+
+    # 3. line-level boilerplate removal (rebuilds text)
+    cleaned = boilerplate_line_dedup(
+        after_near, max_df=line_df_cap, text_col="text", id_col="id"
+    ).select("id", F.col("clean_text").alias("text"), "n_removed")
+
+    # 4. quality filter on the cleaned text
+    scored = cleaned.select(
+        "id", "text", "n_removed", quality_score(tokens(F.col("text"))).alias("quality")
+    )
+
+    # 5. optional eval-set decontamination
+    if eval_texts is not None:
+        contam = decontaminate_against(
+            scored, eval_texts, text_col="text", id_col="id"
+        ).select("id", "contaminated")
+    else:
+        contam = scored.select("id", F.lit(False).alias("contaminated"))
+
+    survivors = scored.join(contam, "id")
+    # assemble the audit view over ALL input docs
+    staged = (
+        d.select("id")
+        .join(
+            survivors.select("id", "text", "n_removed", "quality", "contaminated"),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            "text",
+            "n_removed",
+            "quality",
+            F.when(F.col("text").isNull(), F.lit("dedup"))
+            .when(F.col("quality") < quality_threshold, F.lit("quality"))
+            .when(F.col("contaminated"), F.lit("decontamination"))
+            .alias("drop_stage"),
+        )
+        .select(
+            "id",
+            "text",
+            "n_removed",
+            "quality",
+            "drop_stage",
+            F.col("drop_stage").isNull().alias("kept"),
+        )
+    )
+    return staged
+
+
+def curation_stats(staged: DataFrame) -> DataFrame:
+    """Per-stage drop counts + kept count (the run's summary report)."""
+    return (
+        staged.groupBy(F.coalesce("drop_stage", F.lit("kept")).alias("stage"))
+        .agg(F.count("*").alias("docs"))
+        .orderBy("stage")
+    )

@@ -308,3 +308,72 @@ def benchmark_decontamination(spark, sf_dir):
     return decontaminate_against(d, ev, n=13).select(
         F.col("id").alias("doc_id"), "n_hits", "contaminated"
     )
+
+
+@query(
+    "curation_pipeline_audit", prio=8,
+    # the COMPOSED curation cascade (operators/curate.py): exact dedup
+    # → MinHash near-dup → line cleanup (no-op on this single-line
+    # corpus) → quality filter → 13-gram decontamination vs docs 0-4.
+    # One row per input doc with the stage that dropped it — the audit
+    # view a production curation run reports. Oracle chains the same
+    # ground-truth constructions the individual gates use.
+    oracle=f"""
+        WITH {S.DUP_CORPUS_CTE.strip()},
+        ex AS (SELECT MIN(doc_id) AS id FROM dup_corpus
+               GROUP BY {S.md5long("text")}),
+        s1 AS (SELECT c.doc_id AS id, c.text FROM dup_corpus c
+               JOIN ex ON ex.id = c.doc_id),
+        sh AS (SELECT id, {S.shingles3(_TOKS)} AS sh FROM s1),
+        losers AS (
+            SELECT DISTINCT b.id FROM sh a JOIN sh b ON a.id < b.id
+            WHERE len(list_intersect(a.sh, b.sh)) /
+                  CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8
+        ),
+        s2 AS (SELECT id, text FROM s1
+               WHERE id NOT IN (SELECT id FROM losers)),
+        q AS (
+            SELECT id, text,
+                   ROUND(0.5 * LEAST(len({_TOKS}) / 100.0, 1.0) +
+                         0.5 * (len(list_filter({_TOKS},
+                                    x -> list_contains({{stops}}, x))) /
+                                CAST(len({_TOKS}) AS DOUBLE)), 4) AS quality
+            FROM s2
+        ),
+        ev AS (
+            SELECT DISTINCT {S.md5long("g")} AS h
+            FROM (SELECT unnest({S.shingles(S.toks("text"), 13)}) AS g
+                  FROM documents WHERE doc_id < 5)
+        ),
+        cg AS (SELECT id, {S.md5long("g")} AS h
+               FROM (SELECT id, unnest({S.shingles(S.toks("text"), 13)}) AS g
+                     FROM s2)),
+        contam AS (SELECT DISTINCT cg.id FROM cg JOIN ev USING (h)),
+        survivors AS (
+            SELECT q.id, q.quality,
+                   q.id IN (SELECT id FROM contam) AS contaminated
+            FROM q
+        )
+        SELECT c.doc_id AS id,
+               s.quality,
+               CASE WHEN s.id IS NULL THEN 'dedup'
+                    WHEN s.quality < 0.3 THEN 'quality'
+                    WHEN s.contaminated THEN 'decontamination'
+                    END AS drop_stage,
+               CASE WHEN s.id IS NULL THEN FALSE
+                    WHEN s.quality < 0.3 THEN FALSE
+                    WHEN s.contaminated THEN FALSE
+                    ELSE TRUE END AS kept
+        FROM dup_corpus c LEFT JOIN survivors s ON s.id = c.doc_id
+    """.replace("{stops}", repr(["the", "a", "of", "and", "to", "in"])),
+)
+def curation_pipeline_audit(spark, sf_dir):
+    from docling_api_spark.operators.curate import curate_corpus
+
+    corpus = dup_corpus(spark, sf_dir)
+    ev = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 5).select("text")
+    staged = curate_corpus(
+        corpus, quality_threshold=0.3, near_threshold=0.8,
+        line_df_cap=100, eval_texts=ev,
+    )
+    return staged.select("id", "quality", "drop_stage", "kept")

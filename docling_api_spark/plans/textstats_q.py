@@ -46,7 +46,7 @@ def token_count_bpe(spark, sf_dir):
     )
 
 
-_STOP_EN = ["the", "a", "of", "and", "to", "in"]
+from docling_api_spark.functions.textstats import STOP_EN as _STOP_EN  # noqa: E402
 
 
 @query(

@@ -74,3 +74,51 @@ def test_submit_job_runs_from_zip(spark, tmp_path):
     assert report["docs"] == 60
     assert report["processed_batches"] == 2
     assert os.path.isdir(os.path.join(out_path, "_commits"))
+
+
+def test_curate_job_runs_from_zip(spark, tmp_path):
+    """The curation cascade ships the same way as extraction: child
+    process resolves the engine only from the --py-files zip."""
+    docs_path = str(tmp_path / "docs")
+    load(spark, SF_DIR, "documents").select("doc_id", "text").write.parquet(docs_path)
+    eval_path = str(tmp_path / "eval")
+    load(spark, SF_DIR, "documents").filter("doc_id < 5").select("text").write.parquet(
+        eval_path
+    )
+
+    sys.path.insert(0, os.path.join(ROOT, "jobs"))
+    try:
+        import package
+
+        zip_path = package.build(str(tmp_path / "docling_api_spark.zip"))
+    finally:
+        sys.path.pop(0)
+
+    out_path = str(tmp_path / "curated")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = zip_path
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(ROOT, "jobs", "run_curate.py"),
+            "--input", docs_path,
+            "--output", out_path,
+            "--eval-set", eval_path,
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        env=env,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    stages = report["stages"]
+    assert sum(stages.values()) == 500  # every input doc accounted for
+    assert stages.get("kept", 0) > 0 and stages.get("quality", 0) > 0
+    # audit table partitioned by kept; curated corpus = kept=true leg
+    # (partition-column values read back as strings — standard Spark
+    # partition inference)
+    got = spark.read.parquet(out_path)
+    assert got.count() == 500
+    assert got.filter("kept = 'true'").count() == stages["kept"]
