@@ -25,6 +25,7 @@ QUADRATIC_ORACLES = {
     "dedup_cascade_survivors",
     "embedding_dup_pairs",
     "dedup_clusters",
+    "curation_pipeline_audit",  # chains the brute-force near-dup oracle
 }
 
 pytestmark = pytest.mark.skipif(
