@@ -513,8 +513,7 @@ def main() -> None:
         fmt = os.environ.get("SPARK_GRAFT_SCALE_FMT", "html")
         out_name = "BENCH_SCALING.json" if fmt == "html" else f"BENCH_SCALING_{fmt}.json"
         path = os.path.join(os.path.dirname(__file__), out_name)
-        # preserve curated trial history: keep the BEST run as the
-        # representative top-level numbers, append every run to trials
+        # preserve trial history: every run appends to `trials`
         prev = {}
         if os.path.exists(path):
             try:

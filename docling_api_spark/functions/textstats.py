@@ -21,9 +21,13 @@ def stopword_count(tok: Column) -> Column:
 
 def quality_score(tok: Column) -> Column:
     """Length + stopword-density composite in [0,1], rounded 4:
-    0.5·min(n_tokens/100, 1) + 0.5·stop_ratio."""
+    0.5·min(n_tokens/100, 1) + 0.5·stop_ratio. NULL for an empty token
+    array — the CASE keeps the division un-evaluated for zero-token
+    rows, which under ANSI mode (Spark 4 default) would otherwise be a
+    hard DIVIDE_BY_ZERO error, not a NULL."""
     n = F.size(tok).cast("double")
-    return F.round(
+    score = F.round(
         0.5 * F.least(F.size(tok) / 100.0, F.lit(1.0)) + 0.5 * (stopword_count(tok) / n),
         4,
     )
+    return F.when(F.size(tok) > 0, score)

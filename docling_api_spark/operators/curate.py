@@ -64,20 +64,33 @@ def curate_corpus(
         after_near, max_df=line_df_cap, text_col="text", id_col="id"
     ).select("id", F.col("clean_text").alias("text"), "n_removed")
 
-    # 4. quality filter on the cleaned text
+    # 4. quality filter on the cleaned text. A doc with zero tokens
+    # after cleanup (empty or all-boilerplate) has NULL quality — that
+    # is a quality drop, not a pass: NULL must never slip through the
+    # `< threshold` comparison into the curated corpus.
     scored = cleaned.select(
         "id", "text", "n_removed", quality_score(tokens(F.col("text"))).alias("quality")
     )
+    low_quality = F.col("quality").isNull() | (F.col("quality") < quality_threshold)
 
-    # 5. optional eval-set decontamination
+    # 5. optional eval-set decontamination — only over quality
+    # survivors (decontamination is last precisely because its 13-gram
+    # explode is the heaviest per-doc stage; quality-dropped docs never
+    # reach it, and the drop_stage CASE checks quality first so this is
+    # semantics-preserving)
     if eval_texts is not None:
         contam = decontaminate_against(
-            scored, eval_texts, text_col="text", id_col="id"
+            scored.filter(~low_quality), eval_texts, text_col="text", id_col="id"
         ).select("id", "contaminated")
+        survivors = scored.join(contam, "id", "left").select(
+            "id", "text", "n_removed", "quality",
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
     else:
-        contam = scored.select("id", F.lit(False).alias("contaminated"))
+        survivors = scored.select(
+            "id", "text", "n_removed", "quality", F.lit(False).alias("contaminated")
+        )
 
-    survivors = scored.join(contam, "id")
     # assemble the audit view over ALL input docs
     staged = (
         d.select("id")
@@ -92,7 +105,10 @@ def curate_corpus(
             "n_removed",
             "quality",
             F.when(F.col("text").isNull(), F.lit("dedup"))
-            .when(F.col("quality") < quality_threshold, F.lit("quality"))
+            .when(
+                F.col("quality").isNull() | (F.col("quality") < quality_threshold),
+                F.lit("quality"),
+            )
             .when(F.col("contaminated"), F.lit("decontamination"))
             .alias("drop_stage"),
         )

@@ -231,6 +231,11 @@ def boilerplate_line_dedup(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).select("id", "pos", "line", md5_long(F.col("line")).alias("h"))
+    # persist: the doc-frequency aggregate AND the join both read this
+    # explode+hash subtree — without the cache the full-corpus md5 pass
+    # runs twice (same multi-branch pattern as dedup_minhash's shingle
+    # table)
+    lines = lines.persist()
     line_df = lines.groupBy("h").agg(
         F.count_distinct("id").alias("line_df")
     )

@@ -52,6 +52,13 @@ def global_rank(
             F.spark_partition_id().alias("__pid"),
             F.monotonically_increasing_id().alias("__mid"),
         )
+        # persist: BOTH the offsets aggregate and the joined stream side
+        # read this subtree, and it is nondeterministic (range-boundary
+        # sampling + per-partition id counters). Without the cache,
+        # correctness would rest on Spark's exchange reuse canonicalizing
+        # the two instances to one — true under default configs, but not
+        # a contract worth betting silent rank corruption on.
+        .persist()
     )
     # one row per partition; the cumsum window is bounded by the
     # cluster's partition count, never by data volume

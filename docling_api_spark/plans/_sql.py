@@ -25,9 +25,12 @@ def shingles3(t: str) -> str:
 def shingles(t: str, n: int) -> str:
     """Distinct n-word shingles of token list ``t`` (1-indexed;
     = functions.hashing.word_shingles). range(1, len-(n-2)) is empty
-    for len < n (DuckDB range is ascending-only by default)."""
+    for len < n (DuckDB range is ascending-only by default). The stop
+    bound renders as ``+`` for n < 2 — interpolating a negative value
+    after ``-`` would emit ``--``, which SQL parses as a comment."""
     parts = "||' '||".join(f"{t}[i+{j}]" if j else f"{t}[i]" for j in range(n))
-    return f"list_distinct([{parts} for i in range(1, len({t})-{n - 2})])"
+    stop = f"len({t})+{2 - n}" if n < 2 else f"len({t})-{n - 2}"
+    return f"list_distinct([{parts} for i in range(1, {stop})])"
 
 
 def minhash(sh: str, num_hashes: int) -> str:

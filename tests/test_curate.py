@@ -1,0 +1,76 @@
+"""curate_corpus edge semantics (operators/curate.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docling_api_spark.operators.curate import curate_corpus, curation_stats
+
+
+def test_empty_and_all_boilerplate_docs_drop_at_quality(spark):
+    """A doc with no tokens after line cleanup (empty text, or every
+    line over the df cap) has NULL quality — it must drop at the
+    quality stage, never land in the curated corpus."""
+    boiler = "accept all cookies now"
+    docs = spark.createDataFrame(
+        [
+            (1, ""),  # empty from the start
+            (2, boiler),  # all-boilerplate: its only line exceeds the cap
+            (3, boiler),  # exact dup of 2 — drops at dedup first
+            (4, boiler + "\n" + " ".join(["the"] * 120)),  # survives cleanup
+            (5, " ".join(["of", "and"] * 60)),  # normal keeper
+        ],
+        "doc_id long, text string",
+    )
+    # cap=1: the boiler line survives dedup in docs 2 and 4 → df=2 > 1
+    staged = curate_corpus(docs, quality_threshold=0.3, line_df_cap=1)
+    rows = {r.id: r for r in staged.collect()}
+    assert rows[1].drop_stage == "quality" and not rows[1].kept
+    assert rows[3].drop_stage == "dedup"
+    assert rows[2].drop_stage == "quality" and not rows[2].kept
+    assert rows[2].quality is None  # zero tokens after cleanup
+    assert rows[4].kept and rows[4].n_removed == 1
+    assert rows[5].kept
+    stats = {r.stage: r.docs for r in curation_stats(staged).collect()}
+    assert stats["quality"] == 2 and stats["kept"] == 2 and stats["dedup"] == 1
+
+
+def test_decontamination_runs_only_on_quality_survivors(spark):
+    """A doc that is both low-quality and eval-contaminated drops at
+    'quality' (the CASE order), and decontamination still catches
+    quality-passing contaminated docs."""
+    eval_text = " ".join(f"w{i}" for i in range(20))
+    # diverse fillers: high distinct-shingle counts so the near-dup
+    # stage (Jaccard ≥ 0.8 on DISTINCT 3-grams) never fires here
+    good_a = " ".join(f"g{i}" for i in range(120))
+    good_b = " ".join(f"h{i}" for i in range(120))
+    docs = spark.createDataFrame(
+        [
+            (1, eval_text),  # contaminated but low quality -> 'quality'
+            (2, good_a + " " + eval_text),  # good quality + contaminated
+            (3, good_b),  # clean keeper
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(eval_text,)], "text string")
+    staged = curate_corpus(docs, quality_threshold=0.3, eval_texts=ev)
+    rows = {r.id: r.drop_stage for r in staged.collect()}
+    assert rows[1] == "quality"
+    assert rows[2] == "decontamination"
+    assert rows[3] is None
+
+
+def test_shingles_sql_handles_n1_and_n2():
+    """The oracle shingle generator must not emit `--` (a SQL comment)
+    for small n."""
+    import duckdb
+
+    from docling_api_spark.plans import _sql as S
+
+    con = duckdb.connect()
+    lit = "['a','b','c']"
+    for n, want in ((1, {"a", "b", "c"}), (2, {"a b", "b c"}), (3, {"a b c"})):
+        sql = f"SELECT {S.shingles(lit, n)} AS sh"
+        assert "--" not in sql
+        # list_distinct does not define order; the shingle SET is the contract
+        assert set(con.execute(sql).fetchone()[0]) == want
