@@ -98,6 +98,7 @@ EXTENDED_R3 = [
     "multi_query_knn_rrf",
     "benchmark_decontamination",
     "curation_pipeline_audit",
+    "gopher_quality_flags",
 ]
 
 

@@ -231,3 +231,74 @@ def quality_filter_curation(spark, sf_dir):
         F.count("*").alias("n_kept"),
         F.sum("n_chars").alias("kept_chars"),
     )
+
+
+@query(
+    "gopher_quality_flags", prio=8,
+    # Gopher/MassiveText repetition + composition filters (published
+    # rules: token bounds, mean word length 3-10, >=80% alphabetic
+    # tokens, top-bigram mass <=20%, duplicate-line fraction <=30%).
+    # The Arrow kernel emits integer counters; every ratio/threshold is
+    # JVM arithmetic, replayed exactly here.
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS tok,
+                          string_split(text, chr(10)) AS ln
+                   FROM documents),
+        base AS (
+            SELECT doc_id,
+                   len(tok) AS n_tokens,
+                   list_sum(list_prepend(0, list_transform(tok, x -> len(x))))
+                       AS sum_tok_len,
+                   len(list_filter(tok, x -> regexp_matches(x, '[A-Za-z]')))
+                       AS n_alpha,
+                   len(ln) AS n_lines,
+                   len(list_distinct(ln)) AS n_distinct_lines,
+                   [tok[i]||' '||tok[i+1] for i in range(1, len(tok))] AS bgs
+            FROM t
+        ),
+        bgc AS (
+            SELECT doc_id, MAX(c) AS top FROM (
+                SELECT doc_id, g, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(bgs) AS g FROM base)
+                GROUP BY 1, 2
+            ) GROUP BY 1
+        ),
+        sig AS (
+            SELECT b.doc_id,
+                   CAST(b.n_tokens AS INT) AS n_tokens,
+                   CASE WHEN b.n_tokens > 0
+                        THEN ROUND(b.sum_tok_len / CAST(b.n_tokens AS DOUBLE), 4)
+                        END AS mean_tok_len,
+                   CASE WHEN b.n_tokens > 0
+                        THEN ROUND(b.n_alpha / CAST(b.n_tokens AS DOUBLE), 4)
+                        END AS alpha_frac,
+                   CASE WHEN b.n_tokens > 1
+                        THEN ROUND(COALESCE(bgc.top, 0) /
+                                   CAST(b.n_tokens - 1 AS DOUBLE), 4)
+                        ELSE 0.0 END AS top_bigram_frac,
+                   ROUND(1 - b.n_distinct_lines / CAST(b.n_lines AS DOUBLE), 4)
+                       AS dup_line_frac
+            FROM base b LEFT JOIN bgc ON bgc.doc_id = b.doc_id
+        )
+        SELECT *,
+               COALESCE(n_tokens >= 50 AND n_tokens <= 100000
+                        AND mean_tok_len >= 3.0 AND mean_tok_len <= 10.0
+                        AND alpha_frac >= 0.8
+                        AND top_bigram_frac <= 0.2
+                        AND dup_line_frac <= 0.3, FALSE) AS passes
+        FROM sig
+    """,
+)
+def gopher_quality_flags(spark, sf_dir):
+    from docling_api_spark.operators.quality import gopher_quality_signals
+
+    d = load(spark, sf_dir, "documents")
+    return gopher_quality_signals(d).select(
+        F.col("id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "mean_tok_len",
+        "alpha_frac",
+        "top_bigram_frac",
+        "dup_line_frac",
+        "passes",
+    )
