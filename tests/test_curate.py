@@ -74,3 +74,26 @@ def test_shingles_sql_handles_n1_and_n2():
         assert "--" not in sql
         # list_distinct does not define order; the shingle SET is the contract
         assert set(con.execute(sql).fetchone()[0]) == want
+
+
+def test_gopher_signals_edge_docs(spark):
+    """Zero-token / single-token / repetitive docs: NULL-safe ratios
+    (ANSI mode would hard-fail an unguarded division), bigram mass 0
+    for <2 tokens, duplicate-line fraction over repeated lines."""
+    from docling_api_spark.operators.quality import gopher_quality_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "word"),
+            (3, "spam ham " * 50),             # top bigram dominates
+            (4, "x\nx\nx\ny"),                 # 2 distinct of 4 lines
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r for r in gopher_quality_signals(docs).collect()}
+    assert rows["1"].n_tokens == 0 and rows["1"].mean_tok_len is None
+    assert not rows["1"].passes
+    assert rows["2"].top_bigram_frac == 0.0
+    assert rows["3"].top_bigram_frac > 0.4 and not rows["3"].passes
+    assert abs(rows["4"].dup_line_frac - 0.5) < 1e-9
