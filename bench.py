@@ -99,6 +99,7 @@ EXTENDED_R3 = [
     "benchmark_decontamination",
     "curation_pipeline_audit",
     "gopher_quality_flags",
+    "sequence_packing_plan",
 ]
 
 

@@ -84,3 +84,56 @@ def global_rank(
         )
         .drop("__pid", "__mid", "__min", "__off")
     )
+
+
+def prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list,
+    out_col: str = "prefix",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact EXCLUSIVE global prefix sum of ``value_col`` over the
+    total order ``order_cols`` — same single-parallel-shuffle shape as
+    ``global_rank``: range partition + per-partition running sum
+    (window partitioned by ``spark_partition_id`` — parallel), then a
+    broadcast cumulative per-partition total (≤ #partitions rows).
+
+    The classic driver of training-sequence packing: each document's
+    token span in the concatenated corpus stream starts at its prefix
+    sum. The order key must be total (include a tiebreaker)."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .select("*", F.spark_partition_id().alias("__pid"))
+        .persist()  # offsets + stream side both read this (cf. global_rank)
+    )
+    w_local = (
+        W.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = ranged.withColumn(
+        "__lsum", F.coalesce(F.sum(value_col).over(w_local), F.lit(0)).cast("long")
+    )
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.sum(value_col).cast("long").alias("__psum"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__psum").over(
+                    W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select("__pid", "__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__off") + F.col("__lsum"))
+        .drop("__pid", "__lsum", "__off")
+    )

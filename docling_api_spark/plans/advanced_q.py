@@ -380,3 +380,53 @@ def hybrid_search_rrf(spark, sf_dir):
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "sequence_packing_plan", prio=8,
+    # training-sequence packing layout (the document→fixed-length-
+    # sequence step of an LLM pretraining pipeline): documents
+    # concatenate in doc_id order into a token stream split at
+    # seq_len=512 boundaries; each doc's stream offset is its exclusive
+    # global prefix sum — computed scale-safely (operators/rank.py
+    # prefix_sum: one parallel range shuffle + broadcast offsets),
+    # never an unpartitioned running-total window.
+    oracle=f"""
+        WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+        p AS (SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          AS BIGINT) AS stream_offset
+              FROM t)
+        SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, stream_offset,
+               stream_offset // 512 AS first_seq,
+               CASE WHEN n_tokens > 0
+                    THEN (stream_offset + n_tokens - 1) // 512
+                    ELSE stream_offset // 512 END AS last_seq,
+               CASE WHEN n_tokens > 0
+                    THEN (stream_offset + n_tokens - 1) // 512 -
+                         stream_offset // 512 + 1
+                    ELSE CAST(0 AS BIGINT) END AS n_seqs
+        FROM p
+    """,
+)
+def sequence_packing_plan(spark, sf_dir):
+    from docling_api_spark.functions.hashing import tokens
+    from docling_api_spark.operators.rank import prefix_sum
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    p = prefix_sum(d, "n_tokens", ["doc_id"], out_col="stream_offset")
+    seq = F.lit(512)
+    first = F.floor(F.col("stream_offset") / seq)
+    last = F.floor((F.col("stream_offset") + F.col("n_tokens") - 1) / seq)
+    has = F.col("n_tokens") > 0
+    return p.select(
+        "doc_id",
+        "n_tokens",
+        "stream_offset",
+        first.alias("first_seq"),
+        F.when(has, last).otherwise(first).alias("last_seq"),
+        F.when(has, last - first + 1).otherwise(F.lit(0)).alias("n_seqs"),
+    )

@@ -80,7 +80,7 @@ def test_ranking_queries_have_no_single_task_corpus_window(spark):
     (operators/rank.py): every Window in the plan must run over the
     tiny per-partition offsets (__pid), never an unpartitioned spec
     over the corpus rows — the single-task sort VERDICT r2 flagged."""
-    for name in ("rrf_fusion", "hybrid_search_rrf"):
+    for name in ("rrf_fusion", "hybrid_search_rrf", "sequence_packing_plan"):
         plan = _plan(spark, name)
         assert "rangepartitioning" in plan, name
         for line in plan.splitlines():

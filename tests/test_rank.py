@@ -52,3 +52,32 @@ def test_global_rank_plan_has_no_corpus_window(spark):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "__pid" in line, line
+
+
+def test_prefix_sum_matches_window_cumsum(spark):
+    from docling_api_spark.operators.rank import prefix_sum
+
+    df = spark.range(0, 500).select(
+        F.col("id"), (F.col("id") * 7 % 13).alias("v")
+    )
+    got = {
+        r.id: r.prefix
+        for r in prefix_sum(df, "v", ["id"], num_partitions=7).collect()
+    }
+    w = W.orderBy("id").rowsBetween(W.unboundedPreceding, -1)
+    want = {
+        r.id: r.prefix
+        for r in df.withColumn(
+            "prefix", F.coalesce(F.sum("v").over(w), F.lit(0))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_prefix_sum_empty_and_single(spark):
+    from docling_api_spark.operators.rank import prefix_sum
+
+    empty = spark.range(0, 0).select(F.col("id"), F.col("id").alias("v"))
+    assert prefix_sum(empty, "v", ["id"], num_partitions=4).count() == 0
+    one = spark.range(5, 6).select(F.col("id"), F.lit(9).alias("v"))
+    assert prefix_sum(one, "v", ["id"], num_partitions=4).collect()[0].prefix == 0
