@@ -81,6 +81,14 @@ _R1_REDUNDANT = frozenset({
     "topk_global", "sketch_distinct_users", "sketch_value_quantiles",
     "min_cost_supplier", "rollup_status_priority",
 })
+# r2-green queries whose oracle or implementation changed in round 3
+# (html render column; hash-keyed cluster edges; global_rank ranking;
+# cross-chunk sessionize fold) — they need a fresh driver row more than
+# the redundant gates need a third one
+_R3_CHANGED = frozenset({
+    "extract_tables_sidecar", "dedup_clusters", "hybrid_search_rrf",
+    "streaming_sessionize",
+})
 
 
 def _round_prio(n: str) -> int:
@@ -92,6 +100,8 @@ def _round_prio(n: str) -> int:
         return 7
     if _PRIO[n] == 8:  # new round-3 gates
         return 8
+    if n in _R3_CHANGED:
+        return 9
     if n in _R1_ONLY:
         return 15
     if n in _R1_REDUNDANT:

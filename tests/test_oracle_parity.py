@@ -123,11 +123,20 @@ def test_registry_priority_ordering():
         "history_stats", "embed_hash_stats", "chunk_embed_pipeline", "ingest_end_to_end",
     ]
     assert names[5] == "simhash_signatures"  # the one red r2 row, cast fixed
-    # everything with only an r1 driver row sits inside the checked-50 prefix
-    from docling_api_spark.plans.registry import _R1_ONLY, _R1_REDUNDANT
+    # inside the checked-50 prefix: every query whose only driver row is
+    # from round 1, every round-3-changed query, and every new r3 gate.
+    # (The redundant gates may spill past 50 — each is double-covered by
+    # an r1 driver row plus this suite.)
+    from docling_api_spark.plans.registry import _R1_ONLY, _R3_CHANGED
 
     prefix = set(names[:50])
-    assert _R1_ONLY <= prefix and _R1_REDUNDANT <= prefix
+    assert _R1_ONLY <= prefix and _R3_CHANGED <= prefix
+    new_gates = {
+        "media_page_render_fallback", "media_sidecar_dims", "chunk_hybrid_invariants",
+        "boilerplate_line_dedup", "multi_query_knn_rrf", "benchmark_decontamination",
+        "curation_pipeline_audit", "gopher_quality_flags", "sequence_packing_plan",
+    }
+    assert new_gates <= prefix
     # every oracle key is a registered query, same relative order
     q_order = [n for n in names if n in _ORACLES]
     assert q_order == list(_ORACLES)
