@@ -100,6 +100,7 @@ EXTENDED_R3 = [
     "curation_pipeline_audit",
     "gopher_quality_flags",
     "sequence_packing_plan",
+    "pii_scrub",
 ]
 
 

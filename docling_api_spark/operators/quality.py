@@ -112,3 +112,37 @@ def gopher_quality_signals(
         & (F.col("dup_line_frac") <= max_dup_line_frac)
     )
     return sig.select("*", F.coalesce(passes, F.lit(False)).alias("passes"))
+
+
+# PII patterns chosen for cross-dialect identical semantics (Java regex
+# on the Spark side, RE2 in the DuckDB oracle): plain character
+# classes, \b, and bounded repetition only.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b",
+    "ip": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def scrub_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing (standard pre-training hygiene): mask emails,
+    phone numbers, and IPv4 addresses with typed placeholders, count
+    replacements per document. Pure Catalyst regexp expressions —
+    whole-stage codegen, no Python, no shuffle (map-only)."""
+    text = F.col(text_col)
+    counts = {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for kind, pat in PII_PATTERNS.items()
+    }
+    scrubbed = text
+    for kind, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return docs.select(
+        F.col(id_col),
+        scrubbed.alias("scrubbed"),
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        counts["ip"].alias("n_ips"),
+    )

@@ -302,3 +302,53 @@ def gopher_quality_flags(spark, sf_dir):
         "dup_line_frac",
         "passes",
     )
+
+
+@query(
+    "pii_scrub", prio=8,
+    # PII masking (standard pre-training hygiene). The driver corpus
+    # has no PII, so deterministic identifiers are injected per doc_id
+    # residue (email / phone / IPv4 / clean), then masked with typed
+    # placeholders; counts come from the ORIGINAL text. Same regexes
+    # both engines (character classes + \b only — Java and RE2 agree).
+    oracle=r"""
+        WITH der AS (
+            SELECT doc_id,
+                   text || CASE doc_id % 4
+                       WHEN 0 THEN ' contact user' || doc_id || '@example.com now'
+                       WHEN 1 THEN ' call 555-123-4567 today'
+                       WHEN 2 THEN ' served from 10.0.' || doc_id % 256 || '.7'
+                       ELSE '' END AS t2
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(t2,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+                   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+                   AS scrubbed,
+               len(regexp_extract_all(t2,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(t2,
+                   '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phones,
+               len(regexp_extract_all(t2,
+                   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips
+        FROM der
+    """,
+)
+def pii_scrub(spark, sf_dir):
+    from docling_api_spark.operators.quality import scrub_pii
+
+    d = load(spark, sf_dir, "documents")
+    tail = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                        F.lit("@example.com now")))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" call 555-123-4567 today"))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit(" served from 10.0."),
+                       (F.col("doc_id") % 256).cast("string"), F.lit(".7")))
+        .otherwise(F.lit(""))
+    )
+    der = d.select("doc_id", F.concat(F.col("text"), tail).alias("text"))
+    return scrub_pii(der).select("doc_id", "scrubbed", "n_emails", "n_phones", "n_ips")

@@ -135,6 +135,7 @@ def test_registry_priority_ordering():
         "media_page_render_fallback", "media_sidecar_dims", "chunk_hybrid_invariants",
         "boilerplate_line_dedup", "multi_query_knn_rrf", "benchmark_decontamination",
         "curation_pipeline_audit", "gopher_quality_flags", "sequence_packing_plan",
+        "pii_scrub",
     }
     assert new_gates <= prefix
     # every oracle key is a registered query, same relative order
