@@ -71,10 +71,13 @@ def curate_corpus(
     scored = cleaned.select(
         "id", "text", "n_removed", quality_score(tokens(F.col("text"))).alias("quality")
     )
-    # persist: the decontamination branch AND the survivors assembly
-    # both read `scored` — without the cache the entire upstream
-    # cascade (exact + near-dup + line cleanup) executes twice
-    scored = scored.persist()
+    if eval_texts is not None:
+        # persist: the decontamination branch AND the survivors assembly
+        # both read `scored` — without the cache the entire upstream
+        # cascade (exact + near-dup + line cleanup) executes twice.
+        # (Without an eval set there is exactly one consumer — caching
+        # would be pure materialization overhead.)
+        scored = scored.persist()
     low_quality = F.col("quality").isNull() | (F.col("quality") < quality_threshold)
 
     # 5. optional eval-set decontamination — only over quality

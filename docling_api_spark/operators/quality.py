@@ -29,6 +29,11 @@ SIGNAL_DDL = (
 )
 
 _ALPHA_RE = re.compile(r"[A-Za-z]")  # ASCII-alpha: exact twin of the SQL regex
+# ASCII \s+ — the canonical tokenizer (functions.hashing.tokens / the
+# oracle's string_split_regex('\s+')). Python str.split() would also
+# split on UNICODE whitespace (NBSP etc.) and silently diverge from
+# both engines' ASCII regex semantics on HTML-extracted text.
+_WS_RE = re.compile(r"\s+", re.ASCII)
 
 
 def _signal_batches(text_col: str, id_col: str):
@@ -37,7 +42,7 @@ def _signal_batches(text_col: str, id_col: str):
             rows = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 text = text or ""
-                toks = text.split()
+                toks = [t for t in _WS_RE.split(text) if t]
                 lines = text.split("\n")
                 bigrams = Counter(
                     f"{a} {b}" for a, b in zip(toks, toks[1:])
@@ -130,18 +135,21 @@ def scrub_pii(
     """PII scrubbing (standard pre-training hygiene): mask emails,
     phone numbers, and IPv4 addresses with typed placeholders, count
     replacements per document. Pure Catalyst regexp expressions —
-    whole-stage codegen, no Python, no shuffle (map-only)."""
-    text = F.col(text_col)
-    counts = {
-        kind: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
-        for kind, pat in PII_PATTERNS.items()
-    }
-    scrubbed = text
+    whole-stage codegen, no Python, no shuffle (map-only).
+
+    Counts are ACTUAL replacements: each stage counts on the text the
+    previous stage already scrubbed, so a digit run consumed inside an
+    earlier match (an IP-shaped local part of an email) never inflates
+    a later counter — counts always reconcile with the placeholders in
+    ``scrubbed``."""
+    stage = F.col(text_col)
+    counts = {}
     for kind, pat in PII_PATTERNS.items():
-        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+        counts[kind] = F.size(F.regexp_extract_all(stage, F.lit(pat), 0))
+        stage = F.regexp_replace(stage, pat, f"<{kind.upper()}>")
     return docs.select(
         F.col(id_col),
-        scrubbed.alias("scrubbed"),
+        stage.alias("scrubbed"),
         counts["email"].alias("n_emails"),
         counts["phone"].alias("n_phones"),
         counts["ip"].alias("n_ips"),

@@ -101,23 +101,43 @@ def prefix_sum(
 
     The classic driver of training-sequence packing: each document's
     token span in the concatenated corpus stream starts at its prefix
-    sum. The order key must be total (include a tiebreaker)."""
+    sum. The order key must be total (include a tiebreaker).
+
+    The per-partition running sum is an Arrow ``mapInPandas`` cumsum —
+    a NARROW map over the already-range-sorted partitions (a
+    ``Window.partitionBy(spark_partition_id)`` would instead force a
+    second full-data hash exchange and cap the stage at one task per
+    range partition)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = (
         df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
         .select("*", F.spark_partition_id().alias("__pid"))
         .persist()  # offsets + stream side both read this (cf. global_rank)
     )
-    w_local = (
-        W.partitionBy("__pid")
-        .orderBy(*order_cols)
-        .rowsBetween(W.unboundedPreceding, -1)
+    out_schema = T.StructType(
+        list(ranged.schema.fields) + [T.StructField("__lsum", T.LongType())]
     )
-    local = ranged.withColumn(
-        "__lsum", F.coalesce(F.sum(value_col).over(w_local), F.lit(0)).cast("long")
-    )
+
+    def local_cumsum(batches):
+        run = 0  # carries across Arrow batches WITHIN one partition
+        for pdf in batches:
+            vals = pdf[value_col].to_numpy(dtype="int64")
+            pdf = pdf.assign(
+                __lsum=run + np.concatenate(([0], np.cumsum(vals[:-1])))
+                if len(vals)
+                else np.array([], dtype="int64")
+            )
+            run += int(vals.sum())
+            yield pdf
+
+    local = ranged.mapInPandas(local_cumsum, schema=out_schema)
     offsets = (
         ranged.groupBy("__pid")
         .agg(F.sum(value_col).cast("long").alias("__psum"))

@@ -418,9 +418,10 @@ def sequence_packing_plan(spark, sf_dir):
         "doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")
     )
     p = prefix_sum(d, "n_tokens", ["doc_id"], out_col="stream_offset")
-    seq = F.lit(512)
-    first = F.floor(F.col("stream_offset") / seq)
-    last = F.floor((F.col("stream_offset") + F.col("n_tokens") - 1) / seq)
+    # integer `div`, not floor(double division): exact at any stream
+    # magnitude (floor via double loses bits past 2^53)
+    first = F.expr("stream_offset div 512")
+    last = F.expr("(stream_offset + n_tokens - 1) div 512")
     has = F.col("n_tokens") > 0
     return p.select(
         "doc_id",

@@ -311,6 +311,9 @@ def gopher_quality_flags(spark, sf_dir):
     # residue (email / phone / IPv4 / clean), then masked with typed
     # placeholders; counts come from the ORIGINAL text. Same regexes
     # both engines (character classes + \b only — Java and RE2 agree).
+    # staged counts (= actual replacements): phones count on the
+    # email-scrubbed text, IPs on the email+phone-scrubbed text, so a
+    # digit run consumed by an earlier match never double-counts
     oracle=r"""
         WITH der AS (
             SELECT doc_id,
@@ -318,22 +321,30 @@ def gopher_quality_flags(spark, sf_dir):
                        WHEN 0 THEN ' contact user' || doc_id || '@example.com now'
                        WHEN 1 THEN ' call 555-123-4567 today'
                        WHEN 2 THEN ' served from 10.0.' || doc_id % 256 || '.7'
-                       ELSE '' END AS t2
+                       ELSE '' END AS t0
             FROM documents
-        )
+        ),
+        s1 AS (SELECT doc_id, t0,
+                      regexp_replace(t0,
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                          '<EMAIL>', 'g') AS t1
+               FROM der),
+        s2 AS (SELECT doc_id, t0, t1,
+                      regexp_replace(t1,
+                          '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b',
+                          '<PHONE>', 'g') AS t2
+               FROM s1)
         SELECT doc_id,
-               regexp_replace(regexp_replace(regexp_replace(t2,
-                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                   '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
-                   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
-                   AS scrubbed,
-               len(regexp_extract_all(t2,
+               regexp_replace(t2,
+                   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                   '<IP>', 'g') AS scrubbed,
+               len(regexp_extract_all(t0,
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-               len(regexp_extract_all(t2,
+               len(regexp_extract_all(t1,
                    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b')) AS n_phones,
                len(regexp_extract_all(t2,
                    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips
-        FROM der
+        FROM s2
     """,
 )
 def pii_scrub(spark, sf_dir):

@@ -97,3 +97,39 @@ def test_gopher_signals_edge_docs(spark):
     assert rows["2"].top_bigram_frac == 0.0
     assert rows["3"].top_bigram_frac > 0.4 and not rows["3"].passes
     assert abs(rows["4"].dup_line_frac - 0.5) < 1e-9
+
+
+def test_pii_counts_reconcile_with_placeholders(spark):
+    """Staged counting: a digit run consumed inside an email match must
+    not inflate the phone/IP counters — counts always equal the number
+    of placeholders in the scrubbed text."""
+    from docling_api_spark.operators.quality import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ping 1.2.3.4@example.com"),       # IP-shaped email local part
+            (2, "fax 555-123-4567@example.com"),   # phone-shaped local part
+            (3, "ip 10.0.0.7 mail a@b.io tel 555-123-4567"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    for r in rows.values():
+        assert r.n_emails == r.scrubbed.count("<EMAIL>")
+        assert r.n_phones == r.scrubbed.count("<PHONE>")
+        assert r.n_ips == r.scrubbed.count("<IP>")
+    assert rows[1].n_ips == 0 and rows[1].n_emails == 1
+    assert rows[2].n_phones == 0 and rows[2].n_emails == 1
+    assert (rows[3].n_emails, rows[3].n_phones, rows[3].n_ips) == (1, 1, 1)
+
+
+def test_gopher_tokenizer_is_ascii_whitespace(spark):
+    """The kernel must tokenize on ASCII \\s+ exactly like the engine's
+    canonical tokenizer and the oracle regex — NBSP is NOT a separator."""
+    from docling_api_spark.operators.quality import gopher_quality_signals
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    row = gopher_quality_signals(docs).collect()[0]
+    assert row.n_tokens == 2  # 'alpha\xa0beta' and 'gamma'
