@@ -112,9 +112,16 @@ def verify_jaccard(
     sa = shingled.select(F.col("id").alias("a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("id").alias("b"), F.col("shingles").alias("sh_b"))
     joined = pairs.join(sa, "a").join(sb, "b")
-    jac_raw = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    ).cast("double")
+    # guard: two empty-shingle docs (empty/NULL text) share every LSH
+    # band, land here as a candidate pair, and 0/0 is a hard
+    # DIVIDE_BY_ZERO under ANSI mode. Jaccard is undefined on empty
+    # sets — NULL fails the >= threshold filter, matching the
+    # brute-force ground-truth semantics (0/0 pairs excluded).
+    union_sz = F.size(F.array_union("sh_a", "sh_b"))
+    jac_raw = F.when(
+        union_sz > 0,
+        F.size(F.array_intersect("sh_a", "sh_b")) / union_sz.cast("double"),
+    )
     # filter on the UNROUNDED value (matches the ground-truth oracle's
     # predicate); round only the reported column
     return (
@@ -162,11 +169,14 @@ def jaccard_to_reference(
     shingled = shingle_table(docs, text_col, id_col, shingle_n)
     ref = shingled.filter(F.col("id") == ref_id).select(F.col("shingles").alias("ref_sh"))
     joined = shingled.crossJoin(F.broadcast(ref))
+    union_sz = F.size(F.array_union("shingles", "ref_sh"))
     return joined.select(
         F.col("id").alias(id_col),
         F.round(
-            F.size(F.array_intersect("shingles", "ref_sh"))
-            / F.size(F.array_union("shingles", "ref_sh")).cast("double"),
+            F.when(  # NULL for the undefined empty-vs-empty case (ANSI-safe)
+                union_sz > 0,
+                F.size(F.array_intersect("shingles", "ref_sh")) / union_sz.cast("double"),
+            ),
             scale,
         ).alias("jac"),
     )

@@ -133,3 +133,18 @@ def test_gopher_tokenizer_is_ascii_whitespace(spark):
     )
     row = gopher_quality_signals(docs).collect()[0]
     assert row.n_tokens == 2  # 'alpha\xa0beta' and 'gamma'
+
+
+def test_curate_survives_null_and_empty_text(spark):
+    """NULL/empty documents must flow through the full cascade without
+    an ANSI DIVIDE_BY_ZERO (two empty-shingle docs collide in every LSH
+    band and previously crashed the exact-Jaccard verify) and must
+    never be kept."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "the of and " * 40), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r.id: r for r in curate_corpus(docs).collect()}
+    assert rows[2].kept
+    assert not rows[1].kept and not rows[3].kept
+    assert rows[3].drop_stage == "quality"  # empty → NULL quality → drop
