@@ -101,6 +101,11 @@ EXTENDED_R3 = [
     "gopher_quality_flags",
     "sequence_packing_plan",
     "pii_scrub",
+    "dataset_split_stats",
+    "stratified_sample_balanced",
+    "data_mixing_plan",
+    "intra_doc_line_dedup",
+    "embedding_quantize_int8",
 ]
 
 

@@ -1,0 +1,172 @@
+"""Sampling, data-mixing, and compression operators (training-pipeline
+extension scope; SURVEY.md §2 extensions).
+
+A 100 TB pre-training pipeline needs *reproducible* sampling: random()
+is useless at scale (re-runs and resumed jobs must agree row-by-row),
+so every decision here is a pure function of the row's id under the
+shared md5-prefix-32 hash family (functions/hashing.py) — shuffle-free
+scan predicates that Catalyst pushes into the parquet read, and every
+one exactly replayable by the DuckDB oracle.
+
+Reference parity: the reference has no sampling layer (it is a
+per-request service); these are the corpus-level extensions SURVEY §2
+scopes in alongside dedup/ANN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from docling_api_spark.functions.hashing import md5_long
+
+
+def split_bucket(id_col: Column, salt: str = "split-v1", buckets: int = 1000) -> Column:
+    """Deterministic hash bucket in [0, buckets) for dataset splits.
+
+    DuckDB twin: ``md5long(id || '#salt') % buckets``. The salt keys
+    the whole assignment, so a new split version re-deals every row
+    without correlation to the old one.
+    """
+    return md5_long(F.concat(id_col.cast("string"), F.lit(f"#{salt}"))) % buckets
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_per_mille: int = 100,
+    test_per_mille: int = 100,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Add a ``split`` column (train/val/test) by hash bucket.
+
+    Scale shape: one narrow projection, no shuffle, no RNG state —
+    a resumed or re-run job deals every doc identically, and the
+    assignment is stable under repartitioning (unlike
+    ``df.randomSplit``, whose outcome depends on partitioning).
+    """
+    b = split_bucket(F.col(id_col), salt)
+    split = (
+        F.when(b < test_per_mille, "test")
+        .when(b < test_per_mille + val_per_mille, "val")
+        .otherwise("train")
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_keep(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "strat-v1",
+    scale: int = 100_000,
+) -> DataFrame:
+    """Downsample every stratum to the size of the smallest one
+    (balanced corpus), deterministically.
+
+    Keep rule (pure integer arithmetic, so both engines agree exactly —
+    no float rate ever materializes)::
+
+        keep  ⇔  (md5(id#salt) % scale) * n_stratum < scale * n_min
+
+    which keeps each row with probability n_min/n_stratum. The
+    per-stratum counts are a tiny aggregate broadcast back onto the
+    scan — the big side is never shuffled, so at 100 TB this is one
+    pass over the corpus plus a metadata-sized join.
+
+    Output: input columns + ``n_stratum`` + ``kept``.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_stratum"))
+    n_min = counts.agg(F.min("n_stratum").alias("n_min"))
+    h = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}"))) % scale
+    return (
+        df.join(F.broadcast(counts), stratum_col)
+        .crossJoin(F.broadcast(n_min))
+        .withColumn("kept", h * F.col("n_stratum") < F.lit(scale) * F.col("n_min"))
+    )
+
+
+def mixing_plan(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha_sqrt: bool = True,
+    budget: int = 100_000,
+) -> DataFrame:
+    """Temperature-weighted data-mixing plan (α = 0.5): per-group
+    sampling weights w_g ∝ n_g^α and integer target counts for a doc
+    ``budget`` — the standard multilingual rebalancing rule (upsample
+    tails, downsample heads).
+
+    Float-determinism discipline: each group's n^0.5 is rounded to
+    integer micro-units (``u = round(sqrt(n)·1e6)``) BEFORE the
+    cross-group sum, so the denominator is an order-free integer sum —
+    a raw double Σ n_g^α would depend on accumulation order and
+    diverge between engines (and between cluster runs). Targets are
+    integer ``(u·budget) div Σu`` — exact past 2^53.
+
+    The per-group table is metadata-sized at any corpus scale; the
+    only full-data pass is the count.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n_docs"))
+    u = F.round(F.sqrt(F.col("n_docs")) * 1_000_000, 0).cast("long")
+    weighted = counts.withColumn("u", u)
+    den = weighted.agg(F.sum("u").alias("den"))
+    return (
+        weighted.crossJoin(F.broadcast(den))
+        .select(
+            group_col,
+            "n_docs",
+            F.round(F.col("u") / F.col("den").cast("double"), 6).alias("weight"),
+            F.expr(f"(u * {budget}) div den").alias("target_docs"),
+        )
+    )
+
+
+def dedup_lines_keep_first(lines: Column) -> Column:
+    """Within-document repetition removal: keep each line's FIRST
+    occurrence, preserving order (the intra-doc half of line-level
+    boilerplate cleanup; the corpus-level half is
+    operators/dedup.py::boilerplate_line_dedup).
+
+    ``array_position`` returns the 1-based first index, so a line
+    survives iff it sits at its own first position. Per-doc work is
+    O(lines²) comparisons inside one row — no shuffle, no state. The
+    line array is let-bound via the one-element-array trick so the
+    upstream split isn't re-evaluated per element
+    (see functions/hashing.word_shingles).
+
+    DuckDB twin: ``list_filter(ln, (x,i) -> list_position(ln,x) = i)``
+    (DuckDB lambda index is 1-based; Spark's is 0-based, hence i+1).
+    """
+
+    def build(ln: Column) -> Column:
+        return F.filter(ln, lambda x, i: F.array_position(ln, x) == i + 1)
+
+    return F.element_at(F.transform(F.array(lines), build), 1)
+
+
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization: scale = max|x|,
+    q_j = round(x_j / scale · 127) ∈ [-127, 127], returned as
+    struct(scale double, q array<int>).
+
+    This is the storage/bandwidth form of the ANN path at 100 TB —
+    4× smaller vectors, integer dot products (order-free, so bucket
+    scoring is bit-stable across partitionings). All-zero vectors
+    quantize to zeros (guard, not NaN — ANSI-safe).
+
+    DuckDB twin: same ops on doubles; both engines' ROUND are
+    half-away-from-zero and IEEE division/multiplication are exact,
+    so q is bit-identical.
+    """
+
+    def build(v: Column) -> Column:
+        scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+        q = F.transform(
+            v,
+            lambda x: F.when(scale == 0.0, F.lit(0))
+            .otherwise(F.round(x.cast("double") / scale * 127, 0).cast("int")),
+        )
+        return F.struct(scale.alias("scale"), q.alias("q"))
+
+    return F.element_at(F.transform(F.array(vec), build), 1)

@@ -140,6 +140,7 @@ def _load_all() -> None:
         chunk_q,
         dedup_q,
         multimodal_q,
+        sampling_q,
         search_q,
         similarity_q,
         streaming_q,

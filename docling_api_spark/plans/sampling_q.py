@@ -1,0 +1,214 @@
+"""Sampling / data-mixing / compression queries (training-pipeline
+extension scope) with exact DuckDB oracles.
+
+Everything decides by md5-prefix-32 hash or pure integer arithmetic —
+no RNG, no accumulation-order-sensitive float sums — so each query is
+bit-reproducible across engines, re-runs, and repartitionings (the
+property a resumable 100 TB job actually needs from its sampler).
+
+Registered with default prio: the round-3 driver prefix is already
+full (plans/registry.py), so these gate locally via
+tests/test_oracle_parity.py this round and rotate into the driver
+prefix next round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from docling_api_spark.operators.sample import (
+    dataset_split,
+    dedup_lines_keep_first,
+    mixing_plan,
+    quantize_int8,
+    stratified_keep,
+)
+from docling_api_spark.plans import _sql as S
+from docling_api_spark.plans.registry import query
+from docling_api_spark.sources.catalog import load
+
+_SPLIT_B = S.md5long("doc_id::VARCHAR || '#split-v1'") + " % 1000"
+_STRAT_H = S.md5long("doc_id::VARCHAR || '#strat-v1'") + " % 100000"
+
+
+@query(
+    "dataset_split_stats",
+    # 80/10/10 deterministic split; per-(split,lang) counts + id/char
+    # sums make every row's assignment hash-visible (one flipped doc
+    # changes two group rows).
+    oracle=f"""
+        WITH t AS (SELECT doc_id, lang, n_chars, {_SPLIT_B} AS b FROM documents)
+        SELECT CASE WHEN b < 100 THEN 'test'
+                    WHEN b < 200 THEN 'val'
+                    ELSE 'train' END AS split,
+               lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM t GROUP BY 1, 2
+    """,
+)
+def dataset_split_stats(spark, sf_dir):
+    """Deterministic train/val/test split (hash-bucketed, salt-keyed):
+    stable under re-runs and repartitioning, unlike randomSplit."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        dataset_split(d, val_per_mille=100, test_per_mille=100)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+    )
+
+
+@query(
+    "stratified_sample_balanced",
+    # balance langs to the smallest stratum; keep rule is pure integer
+    # arithmetic (hash%scale * n_stratum < scale * n_min) so no float
+    # rate exists to diverge. lang counts at sf0.01: en 218 / de 70 /
+    # zh 75 / fr 64 / es 73 — genuinely skewed, so the filter splits.
+    oracle=f"""
+        WITH c AS (SELECT lang, COUNT(*) AS n_stratum FROM documents GROUP BY lang),
+             m AS (SELECT MIN(n_stratum) AS n_min FROM c),
+             k AS (SELECT d.doc_id, d.lang, c.n_stratum, m.n_min,
+                          ({_STRAT_H}) * c.n_stratum < 100000 * m.n_min AS kept
+                   FROM documents d JOIN c USING (lang) CROSS JOIN m)
+        SELECT lang,
+               MAX(n_stratum) AS n_stratum,
+               MAX(n_min) AS n_target,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+        FROM k GROUP BY lang
+    """,
+)
+def stratified_sample_balanced(spark, sf_dir):
+    """Balanced per-language downsample: tiny counts aggregate
+    broadcast onto the scan; the corpus side never shuffles."""
+    d = load(spark, sf_dir, "documents")
+    kept = stratified_keep(d, stratum_col="lang")
+    return kept.groupBy("lang").agg(
+        F.max("n_stratum").alias("n_stratum"),
+        F.max("n_min").alias("n_target"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("doc_id")).otherwise(0)).alias("kept_id_sum"),
+    )
+
+
+@query(
+    "data_mixing_plan",
+    # α=0.5 temperature mixing over langs; each sqrt is snapped to
+    # integer micro-units BEFORE the cross-group sum so the
+    # denominator is an order-free integer — the raw double sum would
+    # depend on accumulation order.
+    oracle="""
+        WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+             w AS (SELECT lang, n_docs,
+                          CAST(ROUND(sqrt(n_docs) * 1000000, 0) AS BIGINT) AS u
+                   FROM c),
+             s AS (SELECT CAST(SUM(u) AS BIGINT) AS den FROM w)
+        SELECT lang, n_docs,
+               ROUND(u / CAST(den AS DOUBLE), 6) AS weight,
+               (u * 100000) // den AS target_docs
+        FROM w CROSS JOIN s
+    """,
+)
+def data_mixing_plan(spark, sf_dir):
+    """Temperature-weighted (α=0.5) source-mixing targets for a
+    100k-doc budget — the multilingual head/tail rebalancing rule."""
+    d = load(spark, sf_dir, "documents")
+    return mixing_plan(d, group_col="lang", budget=100_000)
+
+
+@query(
+    "intra_doc_line_dedup",
+    # the driver corpus is single-line, so repeated-line structure is
+    # injected deterministically (same pattern as pii_scrub): every
+    # doc gets a duplicated footer line, every 3rd doc additionally a
+    # full-body repeat; docs shorter than 60 chars dup their body via
+    # the prefix line too. Keep-first semantics, order preserved.
+    oracle="""
+        WITH der AS (
+            SELECT doc_id,
+                   text || chr(10) || 'Subscribe to our newsletter' || chr(10) ||
+                   substr(text, 1, 60) || chr(10) || 'Subscribe to our newsletter' ||
+                   CASE WHEN doc_id % 3 = 0 THEN chr(10) || text ELSE '' END AS t
+            FROM documents),
+        l AS (SELECT doc_id, string_split(t, chr(10)) AS ln FROM der)
+        SELECT doc_id,
+               len(ln) AS n_lines,
+               len(list_filter(ln, (x, i) -> list_position(ln, x) = i)) AS n_kept,
+               array_to_string(list_filter(ln, (x, i) -> list_position(ln, x) = i),
+                               chr(10)) AS cleaned
+        FROM l
+    """,
+)
+def intra_doc_line_dedup(spark, sf_dir):
+    """Within-doc repetition removal (keep-first line dedup) — the
+    intra-doc complement of corpus-level boilerplate_line_dedup.
+    Zero-shuffle: per-row array work only."""
+    d = load(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"), F.lit("\nSubscribe to our newsletter\n"),
+        F.substring(F.col("text"), 1, 60), F.lit("\nSubscribe to our newsletter"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("\n"), F.col("text"))).otherwise(
+            F.lit("")
+        ),
+    )
+    lines = d.select("doc_id", F.split(t, "\n").alias("ln"))
+    kept = dedup_lines_keep_first(F.col("ln"))
+    return lines.select(
+        "doc_id",
+        F.size("ln").alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, "\n").alias("cleaned"),
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    # symmetric per-vector int8 quantization + integer dot/norm vs the
+    # quantized reference vector (vec_id 0) + reconstruction error.
+    # Integer sums are order-free; the float steps (abs/div/mul/round)
+    # are IEEE-identical cross-engine.
+    oracle="""
+        WITH q AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE)))) AS scale
+            FROM embeddings),
+        qq AS (
+            SELECT vec_id, scale,
+                   list_transform(embedding,
+                       x -> CASE WHEN scale = 0 THEN 0
+                            ELSE CAST(ROUND(CAST(x AS DOUBLE) / scale * 127, 0) AS INT)
+                            END) AS qv
+            FROM q),
+        r AS (SELECT qv AS ref_q FROM qq WHERE vec_id = 0)
+        SELECT vec_id,
+               ROUND(scale, 6) AS scale_r,
+               CAST(list_sum([CAST(qv[i] AS BIGINT) * qv[i]
+                              for i in range(1, len(qv) + 1)]) AS BIGINT) AS qnorm,
+               CAST(list_sum([CAST(qv[i] AS BIGINT) * ref_q[i]
+                              for i in range(1, len(qv) + 1)]) AS BIGINT) AS qdot_ref
+        FROM qq CROSS JOIN r
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Int8 vector compression for the ANN path: 4× smaller storage,
+    integer bucket scoring. Reference vector broadcast (one row)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", quantize_int8(F.col("embedding")).alias("qs")).select(
+        "vec_id", F.col("qs.scale").alias("scale"), F.col("qs.q").alias("qv")
+    )
+    ref = q.filter(F.col("vec_id") == 0).select(F.col("qv").alias("ref_q"))
+    prods_self = F.transform(F.col("qv"), lambda x: x.cast("long") * x)
+    prods_ref = F.zip_with(F.col("qv"), F.col("ref_q"), lambda a, b: a.cast("long") * b)
+    acc0 = F.lit(0).cast("long")
+    return q.crossJoin(F.broadcast(ref)).select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale_r"),
+        F.aggregate(prods_self, acc0, lambda a, x: a + x).alias("qnorm"),
+        F.aggregate(prods_ref, acc0, lambda a, x: a + x).alias("qdot_ref"),
+    )
