@@ -1,0 +1,150 @@
+"""Invariant tests for operators/sample.py beyond the oracle-parity
+gate: split determinism under repartitioning, stratified balance,
+mixing-target arithmetic, keep-first line-dedup semantics vs a Python
+reference, and int8 quantization bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from docling_api_spark.operators.sample import (
+    dataset_split,
+    dedup_lines_keep_first,
+    mixing_plan,
+    quantize_int8,
+    stratified_keep,
+)
+from docling_api_spark.sources.catalog import load
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_split_stable_under_repartition_and_proportional(spark):
+    """The split is a pure function of doc_id: any partitioning deals
+    identically (randomSplit does NOT have this property), and the
+    1000-bucket hash hits the 80/10/10 targets within binomial noise."""
+    d = load(spark, SF_DIR, "documents")
+    a = {r["doc_id"]: r["split"] for r in dataset_split(d).select("doc_id", "split").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in dataset_split(d.repartition(7)).select("doc_id", "split").collect()
+    }
+    assert a == b
+    n = len(a)
+    frac = {s: sum(1 for v in a.values() if v == s) / n for s in ("train", "val", "test")}
+    assert 0.72 <= frac["train"] <= 0.88
+    assert 0.05 <= frac["val"] <= 0.15
+    assert 0.05 <= frac["test"] <= 0.15
+
+
+def test_stratified_keep_balances_and_is_deterministic(spark):
+    d = load(spark, SF_DIR, "documents")
+    kept1 = stratified_keep(d, stratum_col="lang")
+    rows = kept1.select("lang", "doc_id", "kept", "n_stratum", "n_min").collect()
+    n_min = rows[0]["n_min"]
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert min(len(v) for v in by_lang.values()) == n_min
+    for lang, rs in by_lang.items():
+        n_kept = sum(1 for r in rs if r["kept"])
+        # expected kept = n_min per stratum; allow ~4 sigma binomial noise
+        sigma = (n_min * max(0.0, 1 - n_min / len(rs))) ** 0.5
+        assert abs(n_kept - n_min) <= max(4 * sigma, 2), (lang, n_kept, n_min)
+        # the smallest stratum is kept whole (rate = 1 exactly)
+        if len(rs) == n_min:
+            assert n_kept == n_min
+    # determinism: a second evaluation keeps the identical id set
+    ids1 = {r["doc_id"] for r in rows if r["kept"]}
+    ids2 = {
+        r["doc_id"]
+        for r in stratified_keep(d.repartition(5), stratum_col="lang")
+        .filter("kept")
+        .select("doc_id")
+        .collect()
+    }
+    assert ids1 == ids2
+
+
+def test_mixing_plan_targets(spark):
+    d = load(spark, SF_DIR, "documents")
+    plan = {r["lang"]: r for r in mixing_plan(d, group_col="lang", budget=100_000).collect()}
+    assert abs(sum(r["weight"] for r in plan.values()) - 1.0) < 1e-4
+    # integer targets: sum <= budget (floor division), each positive
+    assert 0 < sum(r["target_docs"] for r in plan.values()) <= 100_000
+    # temperature alpha=0.5 upsamples tails: sampling rate target/n is
+    # strictly decreasing in stratum size among distinct sizes
+    by_n = sorted(plan.values(), key=lambda r: r["n_docs"])
+    rates = [r["target_docs"] / r["n_docs"] for r in by_n]
+    for a, b in zip(rates, rates[1:]):
+        assert a >= b - 1e-12
+    # and absolute targets still grow with n (sqrt is monotone)
+    targets = [r["target_docs"] for r in by_n]
+    assert targets == sorted(targets)
+
+
+def test_dedup_lines_keep_first_matches_reference(spark):
+    cases = [
+        [],
+        [""],
+        ["a"],
+        ["a", "a"],
+        ["a", "b", "a", "b", "a"],
+        ["b", "a", "b", "", ""],
+        ["x", "y", "z"],
+        ["dup", "dup", "dup", "tail"],
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("ln", T.ArrayType(T.StringType())),
+        ]
+    )
+    df = spark.createDataFrame(list(enumerate(cases)), schema=schema)
+    got = {
+        r["i"]: r["kept"]
+        for r in df.select("i", dedup_lines_keep_first(F.col("ln")).alias("kept")).collect()
+    }
+
+    def ref(ls):
+        seen, out = set(), []
+        for x in ls:
+            if x not in seen:
+                seen.add(x)
+                out.append(x)
+        return out
+
+    for i, case in enumerate(cases):
+        assert got[i] == ref(case), (i, case, got[i])
+
+
+def test_quantize_int8_bounds_and_zero_guard(spark):
+    vecs = [
+        (0, [0.0, 0.0, 0.0]),
+        (1, [1.0, -2.0, 0.5]),
+        (2, [-0.001, 0.0005, -0.0002]),
+        (3, [127.0, -127.0, 63.5]),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.IntegerType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(vecs, schema=schema)
+    rows = {
+        r["vec_id"]: r["qs"]
+        for r in df.select("vec_id", quantize_int8(F.col("embedding")).alias("qs")).collect()
+    }
+    assert rows[0]["q"] == [0, 0, 0] and rows[0]["scale"] == 0.0
+    import numpy as np
+
+    for vid, (_, raw) in zip(sorted(rows), vecs):
+        qs = rows[vid]
+        # the column is float32; scale is max|x| after f32 storage
+        assert qs["scale"] == max(abs(float(np.float32(x))) for x in raw)
+        assert all(-127 <= q <= 127 for q in qs["q"])
+        if qs["scale"] > 0:
+            # the max-magnitude component maps to ±127 exactly
+            assert 127 in [abs(q) for q in qs["q"]]
