@@ -106,6 +106,7 @@ EXTENDED_R3 = [
     "data_mixing_plan",
     "intra_doc_line_dedup",
     "embedding_quantize_int8",
+    "ann_quantized_topk",
 ]
 
 

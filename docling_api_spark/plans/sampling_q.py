@@ -166,13 +166,9 @@ def intra_doc_line_dedup(spark, sf_dir):
     )
 
 
-@query(
-    "embedding_quantize_int8",
-    # symmetric per-vector int8 quantization + integer dot/norm vs the
-    # quantized reference vector (vec_id 0) + reconstruction error.
-    # Integer sums are order-free; the float steps (abs/div/mul/round)
-    # are IEEE-identical cross-engine.
-    oracle="""
+# shared quantization CTEs (q: per-vector scale; qq: int8 vectors) —
+# the SQL twin of operators/sample.quantize_int8
+_QUANT_CTE = """
         WITH q AS (
             SELECT vec_id, embedding,
                    list_max(list_transform(embedding,
@@ -184,7 +180,16 @@ def intra_doc_line_dedup(spark, sf_dir):
                        x -> CASE WHEN scale = 0 THEN 0
                             ELSE CAST(ROUND(CAST(x AS DOUBLE) / scale * 127, 0) AS INT)
                             END) AS qv
-            FROM q),
+            FROM q)"""
+
+
+@query(
+    "embedding_quantize_int8",
+    # symmetric per-vector int8 quantization + integer dot/norm vs the
+    # quantized reference vector (vec_id 0) + reconstruction error.
+    # Integer sums are order-free; the float steps (abs/div/mul/round)
+    # are IEEE-identical cross-engine.
+    oracle=_QUANT_CTE + """,
         r AS (SELECT qv AS ref_q FROM qq WHERE vec_id = 0)
         SELECT vec_id,
                ROUND(scale, 6) AS scale_r,
@@ -211,4 +216,79 @@ def embedding_quantize_int8(spark, sf_dir):
         F.round(F.col("scale"), 6).alias("scale_r"),
         F.aggregate(prods_self, acc0, lambda a, x: a + x).alias("qnorm"),
         F.aggregate(prods_ref, acc0, lambda a, x: a + x).alias("qdot_ref"),
+    )
+
+
+@query(
+    "ann_quantized_topk",
+    # brute-force cosine top-10 over int8-quantized vectors: the
+    # per-vector scale cancels out of cosine, so the score is a pure
+    # function of the integer q-vectors (order-free integer dots, one
+    # IEEE sqrt/div at the end) — the memory-efficient configuration
+    # of the ANN path (4× smaller vectors than knn_cosine_topk's).
+    # TakeOrderedAndProject on the rounded score, ties by vec_id.
+    oracle=_QUANT_CTE + """,
+        r AS (SELECT qv AS ref_q,
+                     CAST(list_sum([CAST(qv[i] AS BIGINT) * qv[i]
+                                    for i in range(1, len(qv) + 1)]) AS BIGINT) AS rn
+              FROM qq WHERE vec_id = 0),
+        s AS (
+            SELECT vec_id,
+                   CAST(list_sum([CAST(qv[i] AS BIGINT) * ref_q[i]
+                                  for i in range(1, len(qv) + 1)]) AS BIGINT) AS qdot,
+                   CAST(list_sum([CAST(qv[i] AS BIGINT) * qv[i]
+                                  for i in range(1, len(qv) + 1)]) AS BIGINT) AS qn,
+                   rn
+            FROM qq CROSS JOIN r
+            WHERE vec_id <> 0)
+        SELECT vec_id,
+               ROUND(qdot / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(rn AS DOUBLE))), 6)
+                   AS qcos
+        FROM s
+        WHERE qn > 0
+        ORDER BY qcos DESC, vec_id
+        LIMIT 10
+    """,
+)
+def ann_quantized_topk(spark, sf_dir):
+    """Int8 brute-force cosine top-k (query = vec 0, broadcast): the
+    exact-scoring baseline for quantized ANN; compose with SRP-LSH
+    bucketing (operators/search.py) for the bucketed scale path."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", quantize_int8(F.col("embedding")).alias("qs")).select(
+        "vec_id", F.col("qs.q").alias("qv")
+    )
+    acc0 = F.lit(0).cast("long")
+    qnorm = F.aggregate(
+        F.transform(F.col("qv"), lambda x: x.cast("long") * x), acc0, lambda a, x: a + x
+    )
+    ref = q.filter(F.col("vec_id") == 0).select(
+        F.col("qv").alias("ref_q"), qnorm.alias("rn")
+    )
+    scored = (
+        q.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("ref_q"), lambda a, b: a.cast("long") * b),
+                acc0,
+                lambda a, x: a + x,
+            ).alias("qdot"),
+            qnorm.alias("qn"),
+            "rn",
+        )
+    )
+    return (
+        scored.filter(F.col("qn") > 0)
+        .select(
+            "vec_id",
+            F.round(
+                F.col("qdot")
+                / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("rn").cast("double"))),
+                6,
+            ).alias("qcos"),
+        )
+        .orderBy(F.desc("qcos"), "vec_id")
+        .limit(10)
     )
