@@ -107,6 +107,7 @@ EXTENDED_R3 = [
     "intra_doc_line_dedup",
     "embedding_quantize_int8",
     "ann_quantized_topk",
+    "unigram_rarity_stats",
 ]
 
 

@@ -166,6 +166,57 @@ def intra_doc_line_dedup(spark, sf_dir):
     )
 
 
+@query(
+    "unigram_rarity_stats",
+    # CCNet-family corpus-statistics quality signal: per-doc mean
+    # corpus frequency of its tokens + rare-token ratio (corpus count
+    # <= 2 — hapax/dis legomena, the OOV-garbage indicator). All sums
+    # are BIGINT (order-free), the two divisions happen once per doc —
+    # integer-exact cross-engine, unlike a float log-prob sum whose
+    # accumulation order (and libm ulps) diverge.
+    oracle=f"""
+        WITH tk AS (SELECT doc_id, unnest({S.toks("text")}) AS tok FROM documents),
+             freq AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok)
+        SELECT tk.doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(freq.cnt) AS BIGINT) AS freq_sum,
+               ROUND(CAST(SUM(freq.cnt) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 4)
+                   AS mean_freq,
+               CAST(SUM(CASE WHEN freq.cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_rare,
+               ROUND(CAST(SUM(CASE WHEN freq.cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     / CAST(COUNT(*) AS DOUBLE), 4) AS rare_ratio
+        FROM tk JOIN freq USING (tok)
+        GROUP BY tk.doc_id
+    """,
+)
+def unigram_rarity_stats(spark, sf_dir):
+    """Corpus-frequency quality signal: docs dominated by rare tokens
+    are OCR noise / mojibake / codes; docs of only ultra-common tokens
+    are boilerplate. Scale shape: the frequency table is vocab-sized
+    (<< corpus); the token-keyed join is Zipf-skewed, which AQE's
+    skew-join splitting handles — or broadcast the heavy-hitter head
+    (vocab_heavy_hitters) and shuffle only the tail. Token rows carry
+    (doc_id, tok) only — no document payload rides the shuffle."""
+    from docling_api_spark.functions.hashing import tokens
+
+    d = load(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    freq = tk.groupBy("tok").agg(F.count("*").alias("cnt"))
+    rare = F.sum(F.when(F.col("cnt") <= 2, 1).otherwise(0))
+    return (
+        tk.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("cnt").alias("freq_sum"),
+            F.round(F.sum("cnt") / F.count("*").cast("double"), 4).alias("mean_freq"),
+            rare.alias("n_rare"),
+            F.round(rare / F.count("*").cast("double"), 4).alias("rare_ratio"),
+        )
+    )
+
+
 # shared quantization CTEs (q: per-vector scale; qq: int8 vectors) —
 # the SQL twin of operators/sample.quantize_int8
 _QUANT_CTE = """
