@@ -89,6 +89,17 @@ _R3_CHANGED = frozenset({
     "extract_tables_sidecar", "dedup_clusters", "hybrid_search_rrf",
     "streaming_sessionize",
 })
+# late-round-3 sampling/mixing suite: the five most evidence-distinct
+# entries take the prefix slots the redundant gates held (those are
+# each double-covered by an r1 driver row + the local parity suite;
+# these have no driver row yet). dataset_split_stats shares
+# stratified_sample_balanced's hash-bucket family and
+# embedding_quantize_int8 is subsumed by ann_quantized_topk's kernel,
+# so both stay local-only this round.
+_R3_NEW = frozenset({
+    "stratified_sample_balanced", "data_mixing_plan",
+    "intra_doc_line_dedup", "ann_quantized_topk", "unigram_rarity_stats",
+})
 
 
 def _round_prio(n: str) -> int:
@@ -102,6 +113,8 @@ def _round_prio(n: str) -> int:
         return 8
     if n in _R3_CHANGED:
         return 9
+    if n in _R3_NEW:
+        return 10
     if n in _R1_ONLY:
         return 15
     if n in _R1_REDUNDANT:
