@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from docling_api_spark.operators.rank import global_rank
 from docling_api_spark.operators.sample import (
     dataset_split,
     dedup_lines_keep_first,
@@ -342,4 +343,63 @@ def ann_quantized_topk(spark, sf_dir):
         )
         .orderBy(F.desc("qcos"), "vec_id")
         .limit(10)
+    )
+
+
+_SHARD_KEY = S.md5long("doc_id::VARCHAR || '#shard-v1'")
+_SHARD_SIZE = 64
+
+
+@query(
+    "global_shuffle_shard_plan",
+    # deterministic global shuffle (order by salted hash, ties by id)
+    # -> exact global rank -> fixed-size shard assignment. The manifest
+    # aggregates per shard: contiguous rank ranges + id/char sums make
+    # any misplaced doc hash-visible. ROW_NUMBER here is the oracle
+    # twin of the scale-safe global_rank (no single-task sort).
+    oracle=f"""
+        WITH k AS (SELECT doc_id, n_chars, {_SHARD_KEY} AS skey FROM documents),
+             r AS (SELECT doc_id, n_chars,
+                          ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS rnk
+                   FROM k)
+        SELECT CAST((rnk - 1) // {_SHARD_SIZE} AS INT) AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(MIN(rnk) AS INT) AS rnk_min,
+               CAST(MAX(rnk) AS INT) AS rnk_max,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM r GROUP BY 1
+    """,
+)
+def global_shuffle_shard_plan(spark, sf_dir):
+    """Training-export terminal step: deterministic corpus-wide shuffle
+    (salted-hash order — stable under re-runs and repartitioning,
+    unlike orderBy(rand())) then fixed-size shard assignment with a
+    per-shard manifest. Scale shape: global_rank's single parallel
+    range shuffle; the manifest agg is map-side-combinable and
+    shard-count-sized. A resumable 10^12-doc export writes each shard
+    from its rank range without re-shuffling completed shards."""
+    from docling_api_spark.functions.hashing import md5_long
+
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("#shard-v1"))).alias(
+            "skey"
+        ),
+    )
+    ranked = global_rank(keyed, [F.col("skey"), F.col("doc_id")], rank_col="rnk")
+    return (
+        ranked.withColumn(
+            "shard_id", F.expr(f"(rnk - 1) div {_SHARD_SIZE}").cast("int")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("rnk").alias("rnk_min"),
+            F.max("rnk").alias("rnk_max"),
+            F.sum("doc_id").alias("sum_ids"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
     )

@@ -148,3 +148,35 @@ def test_quantize_int8_bounds_and_zero_guard(spark):
         if qs["scale"] > 0:
             # the max-magnitude component maps to ±127 exactly
             assert 127 in [abs(q) for q in qs["q"]]
+
+
+def test_global_shuffle_shard_plan_invariants(spark):
+    """Shard manifest: contiguous rank ranges tiling 1..N, every shard
+    full except the last, and the assignment is a pure function of
+    doc_id (stable across input partitionings)."""
+    from docling_api_spark.plans.sampling_q import (
+        _SHARD_SIZE,
+        global_shuffle_shard_plan,
+    )
+
+    rows = sorted(
+        global_shuffle_shard_plan(spark, SF_DIR).collect(),
+        key=lambda r: r["shard_id"],
+    )
+    n = sum(r["n_docs"] for r in rows)
+    assert rows[0]["rnk_min"] == 1
+    assert rows[-1]["rnk_max"] == n
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["rnk_min"] == prev["rnk_max"] + 1
+    for r in rows[:-1]:
+        assert r["n_docs"] == _SHARD_SIZE
+        assert r["rnk_max"] - r["rnk_min"] + 1 == _SHARD_SIZE
+    assert 1 <= rows[-1]["n_docs"] <= _SHARD_SIZE
+    # shard ids are dense 0..n_shards-1
+    assert [r["shard_id"] for r in rows] == list(range(len(rows)))
+    # determinism: re-evaluation yields the identical manifest
+    again = sorted(
+        global_shuffle_shard_plan(spark, SF_DIR).collect(),
+        key=lambda r: r["shard_id"],
+    )
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
