@@ -108,6 +108,7 @@ EXTENDED_R3 = [
     "embedding_quantize_int8",
     "ann_quantized_topk",
     "unigram_rarity_stats",
+    "global_shuffle_shard_plan",
 ]
 
 
