@@ -76,6 +76,28 @@ def word_shingles(tok: Column, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(tok), build), 1)
 
 
+def window_hashes(tok: Column, n: int) -> Column:
+    """Positional n-token window hashes (array<long>): element j
+    (0-based) = md5_long of the window starting at token j+1 (1-based),
+    i.e. windows 1..len-n+1, NOT distinct — position matters for
+    exact-substring span work, unlike shingle sets.
+
+    DuckDB twin (1-indexed starts, inclusive list slice):
+    ``[md5long(array_to_string(t[i:i+n-1],' ')) for i in range(1, len(t)-n+2)]``.
+
+    Same let-binding discipline as word_shingles: ``tok`` is evaluated
+    once per row, not once per window element.
+    """
+
+    def build(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+        wh = F.transform(idx, lambda i: md5_long(F.array_join(F.slice(t, i, n), " ")))
+        # guard: sequence(1, k) is DESCENDING [1,0] for k<1, not empty
+        return F.when(F.size(t) >= n, wh).otherwise(F.array().cast("array<bigint>"))
+
+    return F.element_at(F.transform(F.array(tok), build), 1)
+
+
 MINHASH_P = 1_000_000_007
 
 

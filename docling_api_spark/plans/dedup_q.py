@@ -377,3 +377,124 @@ def curation_pipeline_audit(spark, sf_dir):
         line_df_cap=100, eval_texts=ev,
     )
     return staged.select("id", "quality", "drop_stage", "kept")
+
+
+_N_SUB = 20  # exact-substring window length (tokens)
+
+
+@query(
+    "exact_substring_spans",
+    # the ExactSubstr dedup family (Lee et al. 2021, "Deduplicating
+    # Training Data Makes Language Models Better"): a span is
+    # duplicated if its 20-token window recurs ANYWHERE in the corpus
+    # (position-sensitive windows, not shingle sets). Per doc: merged
+    # duplicated spans + coverage. The planted corpus makes exact
+    # copies cover 1.0 and near-copies cover their shared prefix; the
+    # min-10-token docs exercise the no-window guard.
+    oracle=f"""
+        WITH {S.DUP_CORPUS_CTE.strip()},
+        base AS (SELECT doc_id, {_TOKS} AS t FROM dup_corpus),
+        b2 AS (SELECT doc_id, len(t) AS n_tokens, t FROM base),
+        win AS (
+            SELECT doc_id, i AS pos,
+                   {S.md5long(f"array_to_string(t[i:i+{_N_SUB - 1}], ' ')")} AS h
+            FROM b2, unnest(range(1, CAST(n_tokens - {_N_SUB} + 2 AS BIGINT))) AS u(i)
+        ),
+        dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(*) > 1),
+        m AS (SELECT w.doc_id, w.pos FROM win w JOIN dup USING (h)),
+        g AS (SELECT doc_id, pos,
+                     MAX(pos + {_N_SUB}) OVER (
+                         PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS prev_e
+              FROM m),
+        g2 AS (SELECT doc_id, pos,
+                      SUM(CASE WHEN prev_e IS NULL OR pos > prev_e
+                               THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+               FROM g),
+        sp AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + {_N_SUB} AS e,
+                      COUNT(*) AS nw
+               FROM g2 GROUP BY doc_id, grp),
+        pd AS (SELECT doc_id,
+                      COUNT(*) AS n_spans,
+                      CAST(SUM(e - s) AS BIGINT) AS n_covered,
+                      CAST(SUM(nw) AS BIGINT) AS n_dup_windows
+               FROM sp GROUP BY doc_id)
+        SELECT b2.doc_id,
+               CAST(n_tokens AS INT) AS n_tokens,
+               CAST(COALESCE(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+               CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(COALESCE(n_covered, 0) AS BIGINT) AS n_covered,
+               ROUND(COALESCE(n_covered, 0) / CAST(n_tokens AS DOUBLE), 4)
+                   AS dup_ratio
+        FROM b2 LEFT JOIN pd USING (doc_id)
+    """,
+)
+def exact_substring_spans(spark, sf_dir):
+    """Exact-substring dedup (position-sensitive): mark every token
+    span whose 20-token window recurs anywhere in the corpus, merge
+    overlapping/touching windows per doc, report coverage. The family
+    MinHash can't express — it catches a copied paragraph inside an
+    otherwise-unique doc.
+
+    Scale shape: window rows are narrow (h:long, doc_id, pos) — text
+    never rides the shuffle; the recurrence count is a map-side-
+    combinable groupBy on h; the span merge windows partition by
+    doc_id (parallel, bounded by doc length). At 100 TB the shuffle
+    volume is tokens x 16 bytes — the known, accepted cost of the
+    ExactSubstr family (suffix-array runs pay the same pass)."""
+    from pyspark.sql import Window as W
+
+    from docling_api_spark.functions.hashing import tokens, window_hashes
+
+    c = dup_corpus(spark, sf_dir)
+    t = tokens(F.col("text"))
+    base = c.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        window_hashes(t, _N_SUB).alias("wh"),
+    )
+    # persist: the doc-summary left join AND the window explode both
+    # read this subtree; without the cache the tokenize+hash pass runs
+    # twice (same discipline as the minhash shingle table)
+    base = base.persist()
+    win = base.select(
+        "doc_id", F.posexplode("wh").alias("j", "h")
+    ).select("doc_id", (F.col("j") + 1).alias("pos"), "h")
+    dup = win.groupBy("h").agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1)
+    marked = win.join(dup.select("h"), "h").select("doc_id", "pos")
+    w_order = W.partitionBy("doc_id").orderBy("pos")
+    prev_e = F.max(F.col("pos") + _N_SUB).over(
+        w_order.rowsBetween(W.unboundedPreceding, -1)
+    )
+    g2 = marked.withColumn(
+        "grp",
+        F.sum(
+            F.when(prev_e.isNull() | (F.col("pos") > prev_e), 1).otherwise(0)
+        ).over(w_order.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    spans = g2.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + _N_SUB).alias("e"),
+        F.count("*").alias("nw"),
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).alias("n_covered"),
+        F.sum("nw").alias("n_dup_windows"),
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_covered", F.lit(0)).alias("n_covered"),
+            F.round(
+                F.coalesce("n_covered", F.lit(0)) / F.col("n_tokens").cast("double"), 4
+            ).alias("dup_ratio"),
+        )
+    )

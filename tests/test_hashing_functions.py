@@ -54,6 +54,21 @@ def test_tokens_and_shingles(df):
         assert list(r.sh) == want
 
 
+def test_window_hashes_positional(df):
+    rows = (
+        df.select("text", H.window_hashes(H.tokens(F.col("text")), 3).alias("wh"))
+        .collect()
+    )
+    for r in rows:
+        toks = r.text.split()
+        want = [
+            _py_md5_long(" ".join(toks[i : i + 3]))
+            for i in range(max(len(toks) - 2, 0))
+        ]
+        # positional, NOT deduped: "x y z x y z x y z w" repeats windows
+        assert list(r.wh) == want
+
+
 def test_minhash_identical_texts_identical_sigs(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon"), (2, "alpha beta gamma delta epsilon")],
