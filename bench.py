@@ -109,6 +109,7 @@ EXTENDED_R3 = [
     "ann_quantized_topk",
     "unigram_rarity_stats",
     "global_shuffle_shard_plan",
+    "exact_substring_spans",
 ]
 
 
