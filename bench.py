@@ -110,6 +110,8 @@ EXTENDED_R3 = [
     "unigram_rarity_stats",
     "global_shuffle_shard_plan",
     "exact_substring_spans",
+    "exact_substring_remove",
+    "bigram_lm_surprisal",
 ]
 
 

@@ -381,18 +381,10 @@ def curation_pipeline_audit(spark, sf_dir):
 
 _N_SUB = 20  # exact-substring window length (tokens)
 
-
-@query(
-    "exact_substring_spans",
-    # the ExactSubstr dedup family (Lee et al. 2021, "Deduplicating
-    # Training Data Makes Language Models Better"): a span is
-    # duplicated if its 20-token window recurs ANYWHERE in the corpus
-    # (position-sensitive windows, not shingle sets). Per doc: merged
-    # duplicated spans + coverage. The planted corpus makes exact
-    # copies cover 1.0 and near-copies cover their shared prefix; the
-    # min-10-token docs exercise the no-window guard.
-    oracle=f"""
-        WITH {S.DUP_CORPUS_CTE.strip()},
+# shared CTE chain for the ExactSubstr pair: tokenized corpus (b2) →
+# positional window hashes (win) → recurring windows (dup) → marked
+# positions (m) → merged per-doc spans (sp)
+_SPANS_CTES = f"""
         base AS (SELECT doc_id, {_TOKS} AS t FROM dup_corpus),
         b2 AS (SELECT doc_id, len(t) AS n_tokens, t FROM base),
         win AS (
@@ -415,7 +407,48 @@ _N_SUB = 20  # exact-substring window length (tokens)
                FROM g),
         sp AS (SELECT doc_id, grp, MIN(pos) AS s, MAX(pos) + {_N_SUB} AS e,
                       COUNT(*) AS nw
-               FROM g2 GROUP BY doc_id, grp),
+               FROM g2 GROUP BY doc_id, grp)"""
+
+
+def _substring_spans(base):
+    """Merged duplicated-window spans (doc_id, s, e, nw) from a base
+    frame carrying ``wh`` (positional window hashes) — the Spark twin
+    of _SPANS_CTES' win→sp chain."""
+    from pyspark.sql import Window as W
+
+    win = base.select(
+        "doc_id", F.posexplode("wh").alias("j", "h")
+    ).select("doc_id", (F.col("j") + 1).alias("pos"), "h")
+    dup = win.groupBy("h").agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1)
+    marked = win.join(dup.select("h"), "h").select("doc_id", "pos")
+    w_order = W.partitionBy("doc_id").orderBy("pos")
+    prev_e = F.max(F.col("pos") + _N_SUB).over(
+        w_order.rowsBetween(W.unboundedPreceding, -1)
+    )
+    g2 = marked.withColumn(
+        "grp",
+        F.sum(
+            F.when(prev_e.isNull() | (F.col("pos") > prev_e), 1).otherwise(0)
+        ).over(w_order.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return g2.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + _N_SUB).alias("e"),
+        F.count("*").alias("nw"),
+    )
+
+
+@query(
+    "exact_substring_spans",
+    # the ExactSubstr dedup family (Lee et al. 2021, "Deduplicating
+    # Training Data Makes Language Models Better"): a span is
+    # duplicated if its 20-token window recurs ANYWHERE in the corpus
+    # (position-sensitive windows, not shingle sets). Per doc: merged
+    # duplicated spans + coverage. The planted corpus makes exact
+    # copies cover 1.0 and near-copies cover their shared prefix; the
+    # min-10-token docs exercise the no-window guard.
+    oracle=f"""
+        WITH {S.DUP_CORPUS_CTE.strip()},{_SPANS_CTES},
         pd AS (SELECT doc_id,
                       COUNT(*) AS n_spans,
                       CAST(SUM(e - s) AS BIGINT) AS n_covered,
@@ -444,8 +477,6 @@ def exact_substring_spans(spark, sf_dir):
     doc_id (parallel, bounded by doc length). At 100 TB the shuffle
     volume is tokens x 16 bytes — the known, accepted cost of the
     ExactSubstr family (suffix-array runs pay the same pass)."""
-    from pyspark.sql import Window as W
-
     from docling_api_spark.functions.hashing import tokens, window_hashes
 
     c = dup_corpus(spark, sf_dir)
@@ -459,26 +490,7 @@ def exact_substring_spans(spark, sf_dir):
     # read this subtree; without the cache the tokenize+hash pass runs
     # twice (same discipline as the minhash shingle table)
     base = base.persist()
-    win = base.select(
-        "doc_id", F.posexplode("wh").alias("j", "h")
-    ).select("doc_id", (F.col("j") + 1).alias("pos"), "h")
-    dup = win.groupBy("h").agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1)
-    marked = win.join(dup.select("h"), "h").select("doc_id", "pos")
-    w_order = W.partitionBy("doc_id").orderBy("pos")
-    prev_e = F.max(F.col("pos") + _N_SUB).over(
-        w_order.rowsBetween(W.unboundedPreceding, -1)
-    )
-    g2 = marked.withColumn(
-        "grp",
-        F.sum(
-            F.when(prev_e.isNull() | (F.col("pos") > prev_e), 1).otherwise(0)
-        ).over(w_order.rowsBetween(W.unboundedPreceding, 0)),
-    )
-    spans = g2.groupBy("doc_id", "grp").agg(
-        F.min("pos").alias("s"),
-        (F.max("pos") + _N_SUB).alias("e"),
-        F.count("*").alias("nw"),
-    )
+    spans = _substring_spans(base)
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
         F.sum(F.col("e") - F.col("s")).alias("n_covered"),
@@ -497,4 +509,74 @@ def exact_substring_spans(spark, sf_dir):
                 F.coalesce("n_covered", F.lit(0)) / F.col("n_tokens").cast("double"), 4
             ).alias("dup_ratio"),
         )
+    )
+
+
+@query(
+    "exact_substring_remove",
+    # companion to exact_substring_spans: rebuild each doc with every
+    # duplicated span cut (policy: remove from ALL occurrences — the
+    # keep-one-occurrence variant is a survivor join away and
+    # orthogonal to the rebuild mechanics tested here). Exact copies
+    # empty out entirely; near-copies keep only their unique tail.
+    oracle=f"""
+        WITH {S.DUP_CORPUS_CTE.strip()},{_SPANS_CTES},
+        tok2 AS (SELECT doc_id, i, t[i] AS tok
+                 FROM b2, unnest(range(1, CAST(n_tokens + 1 AS BIGINT))) AS u(i)),
+        keptt AS (SELECT tok2.doc_id, i, tok
+                  FROM tok2 LEFT JOIN sp ON tok2.doc_id = sp.doc_id
+                                         AND i >= sp.s AND i < sp.e
+                  WHERE sp.s IS NULL),
+        kd AS (SELECT doc_id, COUNT(*) AS n_kept,
+                      string_agg(tok, ' ' ORDER BY i) AS kept_text
+               FROM keptt GROUP BY doc_id)
+        SELECT b2.doc_id,
+               CAST(n_tokens AS INT) AS n_tokens,
+               CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(kept_text, '') AS kept_text
+        FROM b2 LEFT JOIN kd USING (doc_id)
+    """,
+)
+def exact_substring_remove(spark, sf_dir):
+    """ExactSubstr removal pass: cut every duplicated 20-token span
+    from the text (Lee et al. 2021's dedup applied to the corpus
+    rebuild, not just the report).
+
+    Scale shape: the span table is tiny relative to the corpus
+    (one row per merged dup span); it comes back to the documents as a
+    collect_list per doc_id (bounded by doc length) and the cut is
+    per-row array work — the document text itself never enters an
+    Exchange, unlike the oracle's token-unnest anti-join twin which is
+    the SQL-expressible but shuffle-heavy formulation."""
+    from docling_api_spark.functions.hashing import tokens, window_hashes
+
+    c = dup_corpus(spark, sf_dir)
+    tk = tokens(F.col("text"))
+    base = c.select(
+        "doc_id",
+        tk.alias("t"),
+    ).select(
+        "doc_id",
+        "t",
+        F.size("t").alias("n_tokens"),
+        window_hashes(F.col("t"), _N_SUB).alias("wh"),
+    )
+    base = base.persist()
+    spans = _substring_spans(base)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct(F.col("s"), F.col("e"))).alias("spans")
+    )
+    empty_spans = F.array().cast("array<struct<s:int,e:int>>")
+    joined = base.join(per_doc, "doc_id", "left").withColumn(
+        "spans", F.coalesce("spans", empty_spans)
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — i is the outer lambda var
+        F.col("spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+    )
+    kept = F.filter(F.col("t"), lambda x, j: ~covered(j + 1))
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.array_join(kept, " ").alias("kept_text"),
     )

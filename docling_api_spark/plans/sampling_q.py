@@ -403,3 +403,109 @@ def global_shuffle_shard_plan(spark, sf_dir):
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+@query(
+    "bigram_lm_surprisal",
+    # CCNet's LM-perplexity quality filter, made cross-engine-exact: a
+    # bigram LM with add-one smoothing trained on the corpus itself,
+    # scored in INTEGER log2-bucketed surprisal — s = floor(log2(
+    # (c_prev + V) / (c_bigram + 1))) computed as length(bin(intdiv))
+    # - 1, so there is no libm log and no order-sensitive float sum
+    # anywhere (the same discipline unigram_rarity_stats documents).
+    # kept = doc's mean surprisal at or below the corpus median —
+    # fluent text (seen bigrams) scores low, OCR noise scores high.
+    oracle=f"""
+        WITH base AS (SELECT doc_id, {S.toks("text")} AS t FROM documents),
+        uc AS (SELECT tok, COUNT(*) AS cnt
+               FROM (SELECT unnest(t) AS tok FROM base) GROUP BY tok),
+        v AS (SELECT COUNT(*) AS vocab FROM uc),
+        bg AS (SELECT doc_id, t[i-1] AS w1, t[i] AS w2
+               FROM base, unnest(range(2, CAST(len(t) + 1 AS BIGINT))) AS u(i)),
+        bc AS (SELECT w1, w2, COUNT(*) AS bcnt FROM bg GROUP BY w1, w2),
+        sc AS (SELECT bg.doc_id,
+                      length(bin((uc.cnt + v.vocab) // (bc.bcnt + 1))) - 1 AS s
+               FROM bg JOIN bc USING (w1, w2)
+                       JOIN uc ON uc.tok = bg.w1
+                       CROSS JOIN v),
+        pd AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                      CAST(SUM(s) AS BIGINT) AS surprisal_sum,
+                      CAST(SUM(s) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS mean_raw
+               FROM sc GROUP BY doc_id),
+        med AS (SELECT quantile_cont(mean_raw, 0.5) AS med FROM pd)
+        SELECT doc_id,
+               CAST(n_bigrams AS BIGINT) AS n_bigrams,
+               surprisal_sum,
+               ROUND(mean_raw, 4) AS mean_surprisal,
+               mean_raw <= med AS kept
+        FROM pd CROSS JOIN med
+    """,
+)
+def bigram_lm_surprisal(spark, sf_dir):
+    """LM-quality filter (CCNet family): score each doc by the mean
+    integer surprisal of its bigrams under an add-one-smoothed bigram
+    model trained on the corpus, keep docs at or below the median.
+
+    The float-free surprisal (floor-log2 of an integer ratio via
+    binary-string length) trades sub-bit precision for exact
+    determinism — a real 100 TB run would swap in a KenLM scorer
+    behind the same plan shape.
+
+    Scale shape: the unigram and bigram count tables are vocab-sized
+    (map-side-combined aggs); the scoring join keys are token strings
+    with Zipf skew (AQE skew split, or broadcast the heavy-hitter
+    head); bigram rows are (doc_id, w1, w2) — the document payload
+    never shuffles. The per-doc table that feeds the median is one
+    narrow row per doc."""
+    from docling_api_spark.functions.hashing import tokens
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    # read twice (unigram counts + bigram explode): cache the
+    # tokenized corpus, not the raw text
+    base = base.persist()
+    uc = (
+        base.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = uc.agg(F.count("*").alias("vocab"))
+    tt = F.col("t")
+    bigrams = F.when(
+        F.size(tt) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(tt)),
+            lambda i: F.struct(
+                F.get(tt, i - 2).alias("w1"), F.get(tt, i - 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = base.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("bcnt"))
+    sc = (
+        bg.join(bc, ["w1", "w2"])
+        .join(uc.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (F.length(F.bin(F.expr("(cnt + vocab) div (bcnt + 1)"))) - 1).alias("s"),
+        )
+    )
+    pd = sc.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("s").alias("surprisal_sum"),
+        (F.sum("s") / F.count("*").cast("double")).alias("mean_raw"),
+    )
+    # pd feeds both the median agg and the final select: without the
+    # cache the whole scoring join runs twice
+    pd = pd.persist()
+    med = pd.agg(F.percentile("mean_raw", F.lit(0.5)).alias("med"))
+    return pd.crossJoin(F.broadcast(med)).select(
+        "doc_id",
+        "n_bigrams",
+        "surprisal_sum",
+        F.round("mean_raw", 4).alias("mean_surprisal"),
+        (F.col("mean_raw") <= F.col("med")).alias("kept"),
+    )
