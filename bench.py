@@ -112,6 +112,8 @@ EXTENDED_R3 = [
     "exact_substring_spans",
     "exact_substring_remove",
     "bigram_lm_surprisal",
+    "semdedup_survivors",
+    "dsir_selection",
 ]
 
 

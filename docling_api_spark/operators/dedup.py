@@ -305,3 +305,83 @@ def decontaminate_against(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def semdedup(
+    vectors: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and dropping, inside each
+    cluster, every vector whose cosine to a LOWER-id cluster-mate is
+    at or above ``threshold`` (keep-first survivor rule).
+
+    This variant assigns clusters with the md5-derived deterministic
+    coarse quantizer (functions/hashing.py:ivf_centroids, the same
+    grid ``ivf_fixed_topk`` probes) — argmax rounded-cosine with
+    (cos desc, cell asc) tie-break — so the whole pipeline is exactly
+    reproducible against the SQL oracle. A production run swaps KMeans
+    centroids behind the identical plan shape (the paper's choice of
+    clusterer only affects which pairs get compared, not the rule).
+
+    Returns (id, cell, dropped).
+
+    Scale shape: the per-id assignment window is width-``n_cells``
+    (narrow); ``cell`` is the only shuffle key afterwards, and the
+    pairwise check is the paper's within-cluster O(m²) — bounded by
+    cluster size, never corpus-wide. Identical vectors always share a
+    cell, so exact-dup recall is 1.0 by construction.
+    """
+    from pyspark.sql import Window as W
+
+    from docling_api_spark.functions.hashing import ivf_centroids
+
+    cents = ivf_centroids(dim, n_cells)
+    scored = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("cell"),
+                        cosine(
+                            F.col(vec_col),
+                            F.array(*[F.lit(x) for x in cents[c]]),
+                            scale,
+                        ).alias("ccos"),
+                    )
+                    for c in range(n_cells)
+                ]
+            )
+        ).alias("a"),
+    )
+    w = W.partitionBy("id").orderBy(F.desc("a.ccos"), "a.cell")
+    # persist: the within-cell self-join reads the assignment from
+    # both sides; without the cache each side recomputes all n_cells
+    # centroid cosines
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", "v", F.col("a.cell").alias("cell"))
+        .persist()
+    )
+    left, right = assigned.alias("l"), assigned.alias("r")
+    dropped = (
+        left.join(
+            right,
+            (F.col("l.cell") == F.col("r.cell")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .filter(cosine(F.col("l.v"), F.col("r.v"), scale) >= threshold)
+        .select(F.col("r.id").alias("id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return assigned.join(dropped, "id", "left").select(
+        "id", "cell", F.coalesce("dropped", F.lit(False)).alias("dropped")
+    )

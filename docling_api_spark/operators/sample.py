@@ -170,3 +170,102 @@ def quantize_int8(vec: Column) -> Column:
         return F.struct(scale.alias("scale"), q.alias("q"))
 
     return F.element_at(F.transform(F.array(vec), build), 1)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    is_target: Column,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169): data selection by
+    importance resampling over hashed n-gram features. Each document's
+    bigrams hash into ``n_buckets`` buckets; a bucket's importance
+    weight is the log-likelihood ratio of add-one-smoothed target vs
+    raw(non-target) bucket probabilities; a document's score sums the
+    weights of its bigram occurrences. High score = "looks like the
+    target distribution" — the standard pre-training-corpus selection
+    signal (e.g. target = vetted high-quality subset).
+
+    Float-free discipline (same as bigram_lm_surprisal): the weight is
+    the FLOOR-LOG2 of the integer likelihood ratio, computed as the
+    bit length of ``(ct+1)(R+K)·2¹² div (cr+1)(T+K)`` — no libm log,
+    and the per-doc score is an integer sum, so it is order-free and
+    bit-identical cross-engine. The ±1-bit weight granularity is
+    irrelevant after summing over hundreds of features (a production
+    run would swap float log-ratios behind the same plan shape).
+
+    Returns one row per document with ≥1 bigram:
+    (id, n_feats, dsir_score, mean_weight, kept) — kept = per-feature
+    mean weight at or above the corpus median (floor-log2 carries a
+    systematic downward bias that a fixed ``score > 0`` cutoff would
+    inherit, so the keep rule is relative, exactly as the reference
+    DSIR implementation resamples by relative weight).
+
+    Scale shape: the bucket-weight table is ``n_buckets`` rows
+    (broadcast); the per-doc scoring join is therefore map-side only.
+    The single big intermediate is the (id, bucket) explode — two
+    integer columns; the document payload never shuffles. The weight
+    table itself is one map-side-combined agg over those rows.
+    """
+    from docling_api_spark.functions.hashing import tokens
+
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        is_target.alias("is_t"),
+        tokens(F.col(text_col)).alias("t"),
+    )
+    tt = F.col("t")
+    feats = (
+        base.filter(F.size(tt) >= 2)
+        .select(
+            "id",
+            "is_t",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(2), F.size(tt)),
+                    lambda i: md5_long(
+                        F.concat(F.get(tt, i - 2), F.lit(" "), F.get(tt, i - 1))
+                    )
+                    % n_buckets,
+                )
+            ).alias("b"),
+        )
+    )
+    # read twice (bucket counts + per-doc scoring): cache the narrow
+    # (id, is_t, b) rows, not the tokenized text
+    feats = feats.persist()
+    bc = feats.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("cr"),
+    )
+    tot = bc.agg(
+        F.sum("ct").alias("tt_total"), F.sum("cr").alias("rr_total")
+    )
+    weights = bc.crossJoin(F.broadcast(tot)).selectExpr(
+        "b",
+        "(length(bin(greatest("
+        f"((ct + 1) * (rr_total + {n_buckets}) * 4096L)"
+        f" div ((cr + 1) * (tt_total + {n_buckets})), 1L))) - 13) AS w",
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "b")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("w").alias("dsir_score"),
+            (F.sum("w") / F.count("*").cast("double")).alias("mean_raw"),
+        )
+    )
+    # scored feeds both the median agg and the final select: without
+    # the cache the whole scoring join runs twice
+    scored = scored.persist()
+    med = scored.agg(F.percentile("mean_raw", F.lit(0.5)).alias("med"))
+    return scored.crossJoin(F.broadcast(med)).select(
+        "id",
+        "n_feats",
+        "dsir_score",
+        F.round("mean_raw", 6).alias("mean_weight"),
+        (F.col("mean_raw") >= F.col("med")).alias("kept"),
+    )

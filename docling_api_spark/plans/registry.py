@@ -100,6 +100,15 @@ _R3_NEW = frozenset({
     "stratified_sample_balanced", "data_mixing_plan",
     "intra_doc_line_dedup", "ann_quantized_topk", "unigram_rarity_stats",
 })
+# final round-3 additions (exact-substring dedup family, shard plan,
+# bigram-LM filter): no driver row exists at all, so a first row beats
+# a second row for the tail of the r1-only re-proves they displace
+# (those four keep their green r1 rows + the local parity gate).
+_R3_LATE = frozenset({
+    "exact_substring_spans", "exact_substring_remove",
+    "global_shuffle_shard_plan", "bigram_lm_surprisal",
+    "semdedup_survivors", "dsir_selection",
+})
 
 
 def _round_prio(n: str) -> int:
@@ -115,6 +124,8 @@ def _round_prio(n: str) -> int:
         return 9
     if n in _R3_NEW:
         return 10
+    if n in _R3_LATE:
+        return 11
     if n in _R1_ONLY:
         return 15
     if n in _R1_REDUNDANT:

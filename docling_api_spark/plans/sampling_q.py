@@ -509,3 +509,52 @@ def bigram_lm_surprisal(spark, sf_dir):
         F.round("mean_raw", 4).alias("mean_surprisal"),
         (F.col("mean_raw") <= F.col("med")).alias("kept"),
     )
+
+
+@query(
+    "dsir_selection",
+    # DSIR (arXiv:2302.03169) hashed-bigram importance weights with
+    # target = the English subset (the usual "looks like the vetted
+    # corpus" selection signal; lang counts at sf0.01: en 218 / rest
+    # 282, so both distributions are well-populated). Weight = integer
+    # floor-log2 of the smoothed target/raw likelihood ratio (bit
+    # length of the 2^12-scaled integer ratio — no libm log), per-doc
+    # score = integer sum over bigram occurrences.
+    oracle=f"""
+        WITH base AS (SELECT doc_id, lang = 'en' AS is_t, {S.toks("text")} AS t
+                      FROM documents),
+        bg AS (SELECT doc_id, is_t,
+                      {S.md5long("t[i-1] || ' ' || t[i]")} % 1024 AS b
+               FROM base, unnest(range(2, CAST(len(t) + 1 AS BIGINT))) AS u(i)),
+        bc AS (SELECT b,
+                      CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                      CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+               FROM bg GROUP BY b),
+        tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt_total,
+                       CAST(SUM(cr) AS BIGINT) AS rr_total FROM bc),
+        w AS (SELECT b,
+                     length(bin(GREATEST(
+                         ((ct + 1) * (rr_total + 1024) * 4096)
+                         // ((cr + 1) * (tt_total + 1024)), 1))) - 13 AS w
+              FROM bc CROSS JOIN tot),
+        pd AS (SELECT doc_id, COUNT(*) AS nf, CAST(SUM(w) AS BIGINT) AS sc,
+                      CAST(SUM(w) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS mean_raw
+               FROM bg JOIN w USING (b) GROUP BY doc_id),
+        med AS (SELECT quantile_cont(mean_raw, 0.5) AS med FROM pd)
+        SELECT doc_id,
+               CAST(nf AS BIGINT) AS n_feats,
+               sc AS dsir_score,
+               ROUND(mean_raw, 6) AS mean_weight,
+               mean_raw >= med AS kept
+        FROM pd CROSS JOIN med
+    """,
+)
+def dsir_selection(spark, sf_dir):
+    """DSIR importance-resampling selection scores for every document
+    (target = English subset). See operators/sample.py:dsir_weights
+    for the integer-exact weight construction and the broadcast-only
+    scoring join's scale rationale."""
+    from docling_api_spark.operators.sample import dsir_weights
+
+    d = load(spark, sf_dir, "documents")
+    return dsir_weights(d, F.col("lang") == "en").withColumnRenamed("id", "doc_id")

@@ -235,3 +235,54 @@ def multi_query_knn_rrf(spark, sf_dir):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     return multi_knn_rrf(e, queries, k=5, rrf_k=60, final_k=10)
+
+
+@query(
+    "semdedup_survivors",
+    # SemDeDup (arXiv:2303.09540) with the deterministic md5 coarse
+    # quantizer: assign each vector (planted-dup corpus) to its
+    # argmax-cosine cell, drop any vector with a lower-id cell-mate at
+    # cosine >= 0.9 (natural max off-diagonal cosine in this table is
+    # 0.51; planted exact dups are 1.0, and identical vectors share a
+    # cell by construction). Per-cell stats make every assignment and
+    # every drop hash-visible.
+    oracle=f"""
+        WITH {S.ivf_centroids_cte(DIM, 16)},
+        {S.DUP_VECTORS_CTE.strip().rstrip()},
+        assigned AS (
+            SELECT vec_id, embedding, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY {S.cosine("e.embedding", "cents.cv", DIM)} DESC, c) AS rn
+            FROM dup_vectors e CROSS JOIN cents),
+        v AS (SELECT vec_id, embedding, c AS cell FROM assigned WHERE rn = 1),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE {S.cosine("a.embedding", "b.embedding", DIM)} >= 0.9)
+        SELECT v.cell,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+               CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN v.vec_id ELSE 0 END) AS BIGINT) AS dropped_id_sum,
+               CAST(SUM(CASE WHEN d.vec_id IS NULL THEN v.vec_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+        FROM v LEFT JOIN dropped d ON d.vec_id = v.vec_id
+        GROUP BY v.cell
+    """,
+)
+def semdedup_survivors(spark, sf_dir):
+    """SemDeDup semantic dedup over the planted-duplicate vector
+    corpus; per-cell survivor statistics. See operators/dedup.py:
+    semdedup for the scale rationale (cell-bounded pairwise, narrow
+    shuffles)."""
+    from docling_api_spark.operators.dedup import semdedup
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    flags = semdedup(e.unionByName(planted), dim=DIM, n_cells=16, threshold=0.9)
+    return flags.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0)).alias("n_dropped"),
+        F.sum(F.when(F.col("dropped"), F.col("id")).otherwise(0)).alias("dropped_id_sum"),
+        F.sum(F.when(~F.col("dropped"), F.col("id")).otherwise(0)).alias("kept_id_sum"),
+    )

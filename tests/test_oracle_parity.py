@@ -127,13 +127,22 @@ def test_registry_priority_ordering():
     # from round 1, every round-3-changed query, and every new r3 gate.
     # (The redundant gates may spill past 50 — each is double-covered by
     # an r1 driver row plus this suite.)
-    from docling_api_spark.plans.registry import _R1_ONLY, _R3_CHANGED, _R3_NEW
+    from docling_api_spark.plans.registry import (
+        _R1_ONLY,
+        _R3_CHANGED,
+        _R3_LATE,
+        _R3_NEW,
+    )
 
     prefix = set(names[:50])
-    assert _R1_ONLY <= prefix and _R3_CHANGED <= prefix
-    # the late-round sampling suite takes the slots the redundant gates
-    # held (those all keep an r1 driver row + the local parity suite)
-    assert _R3_NEW <= prefix
+    assert _R3_CHANGED <= prefix
+    # the late-round additions (sampling suite, substring dedup family,
+    # semdedup/dsir) have NO driver row yet, so they outrank the tail
+    # of the r1-only re-proves they displace — every displaced query
+    # keeps its green r1 driver row + this suite's parity coverage
+    assert _R3_NEW <= prefix and _R3_LATE <= prefix
+    displaced = _R1_ONLY - prefix
+    assert len(displaced) <= len(_R3_LATE)
     new_gates = {
         "media_page_render_fallback", "media_sidecar_dims", "chunk_hybrid_invariants",
         "boilerplate_line_dedup", "multi_query_knn_rrf", "benchmark_decontamination",

@@ -180,3 +180,51 @@ def test_global_shuffle_shard_plan_invariants(spark):
         key=lambda r: r["shard_id"],
     )
     assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_dsir_weights_prefers_target_language(spark):
+    """DSIR scores must separate target-like from non-target docs:
+    English documents (the target) keep at a much higher rate than any
+    other language, the median keep rule splits the corpus ~in half,
+    and the score is deterministic under repartitioning."""
+    from docling_api_spark.operators.sample import dsir_weights
+
+    d = load(spark, SF_DIR, "documents")
+    out = dsir_weights(d, F.col("lang") == "en").collect()
+    langs = {r["id"]: r for r in out}
+    by_lang = {}
+    for r in load(spark, SF_DIR, "documents").select("doc_id", "lang").collect():
+        s = langs.get(r["doc_id"])
+        if s is not None:
+            by_lang.setdefault(r["lang"], []).append(s["kept"])
+    en_rate = sum(by_lang["en"]) / len(by_lang["en"])
+    other = [k for lang, ks in by_lang.items() if lang != "en" for k in ks]
+    other_rate = sum(other) / len(other)
+    assert en_rate > 0.7, en_rate
+    assert other_rate < 0.4, other_rate
+    n_kept = sum(1 for r in out if r["kept"])
+    assert 0.4 <= n_kept / len(out) <= 0.6
+    out2 = dsir_weights(d.repartition(7), F.col("lang") == "en").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_semdedup_drops_planted_duplicates_only(spark):
+    """On the planted-dup corpus every +100000 copy must be dropped
+    (identical vectors share a cell; keep-first drops the higher id)
+    and no original may be dropped (natural max off-diagonal cosine in
+    this table is 0.51, far under the 0.9 threshold)."""
+    from docling_api_spark.operators.dedup import semdedup
+
+    e = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    flags = semdedup(e.unionByName(planted), dim=64, n_cells=16, threshold=0.9)
+    rows = {r["id"]: r for r in flags.collect()}
+    n_planted = planted.count()
+    dropped = {i for i, r in rows.items() if r["dropped"]}
+    assert dropped == {i for i in rows if i >= 100000}
+    assert len(dropped) == n_planted
+    # an exact copy must land in its original's cell
+    for i in dropped:
+        assert rows[i]["cell"] == rows[i - 100000]["cell"]
