@@ -114,6 +114,7 @@ EXTENDED_R3 = [
     "bigram_lm_surprisal",
     "semdedup_survivors",
     "dsir_selection",
+    "bpe_merge_table",
 ]
 
 

@@ -364,20 +364,37 @@ def semdedup(
     w = W.partitionBy("id").orderBy(F.desc("a.ccos"), "a.cell")
     # persist: the within-cell self-join reads the assignment from
     # both sides; without the cache each side recomputes all n_cells
-    # centroid cosines
+    # centroid cosines. The L2 norm is computed ONCE per vector here so
+    # the per-pair predicate below is a single dot product — value-
+    # identical to cosine() (sqrt(na)·sqrt(nb) is the same float
+    # expression either way), at a third of the per-pair HOF work.
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("v", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
     assigned = (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select("id", "v", F.col("a.cell").alias("cell"))
+        .select("id", "v", F.col("a.cell").alias("cell"), norm.alias("nrm"))
         .persist()
     )
     left, right = assigned.alias("l"), assigned.alias("r")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("l.v"), F.col("r.v"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     dropped = (
         left.join(
             right,
             (F.col("l.cell") == F.col("r.cell")) & (F.col("l.id") < F.col("r.id")),
         )
-        .filter(cosine(F.col("l.v"), F.col("r.v"), scale) >= threshold)
+        .filter(F.round(dot / (F.col("l.nrm") * F.col("r.nrm")), scale) >= threshold)
         .select(F.col("r.id").alias("id"))
         .distinct()
         .withColumn("dropped", F.lit(True))

@@ -363,3 +363,64 @@ def pii_scrub(spark, sf_dir):
     )
     der = d.select("doc_id", F.concat(F.col("text"), tail).alias("text"))
     return scrub_pii(der).select("doc_id", "scrubbed", "n_emails", "n_phones", "n_ips")
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Chained-CTE DuckDB twin of operators/bpe.py:bpe_train — one
+    (pairs, best, merged-vocab) CTE triple per step, same argmax
+    tie-break and the same delimited-string replace merge."""
+    ctes = [
+        f"""V0 AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+               list_append([substring(word, i, 1)
+                            for i in range(1, CAST(length(word) + 1 AS BIGINT))],
+                           '</w>') AS syms
+        FROM (SELECT unnest({S.toks("text")}) AS word FROM documents)
+        GROUP BY word)"""
+    ]
+    for t in range(1, n_merges + 1):
+        ctes.append(
+            f"""P{t} AS (
+        SELECT s.syms[i] AS p1, s.syms[i + 1] AS p2, s.freq
+        FROM V{t - 1} s, unnest(range(1, CAST(len(s.syms) AS BIGINT))) AS u(i))"""
+        )
+        ctes.append(
+            f"""B{t} AS (
+        SELECT p1, p2, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM P{t} GROUP BY p1, p2
+        ORDER BY cnt DESC, p1, p2 LIMIT 1)"""
+        )
+        ctes.append(
+            f"""V{t} AS (
+        SELECT v.word, v.freq,
+               string_split(trim(replace(
+                   ' ' || array_to_string(v.syms, '  ') || ' ',
+                   ' ' || b.p1 || '  ' || b.p2 || ' ',
+                   ' ' || b.p1 || b.p2 || ' ')), '  ') AS syms
+        FROM V{t - 1} v CROSS JOIN B{t} b)"""
+        )
+    union = "\n        UNION ALL ".join(
+        f"SELECT {t} AS step, p1, p2, p1 || p2 AS merged, cnt AS pair_count FROM B{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n        ".join(ctes) + "\n        " + union
+
+
+@query(
+    "bpe_merge_table",
+    # Distributed BPE training (arXiv:1508.07909): corpus collapses to
+    # a word-frequency table in ONE pass, then 6 merge iterations run
+    # on that vocab-sized table (pair-count agg -> argmax with
+    # (count desc, p1, p2) tie-break -> greedy left-to-right merge via
+    # delimited-string replace). Every merge row depends on all
+    # previous ones, so the 6-row table pins the whole loop.
+    oracle=_bpe_oracle(6),
+)
+def bpe_merge_table(spark, sf_dir):
+    """First 6 learned BPE merges over the documents corpus. See
+    operators/bpe.py for the vocab-sized-loop scale rationale (the
+    per-step collect is one argmax row — KMeans-style driver
+    coordination, not a data collect)."""
+    from docling_api_spark.operators.bpe import bpe_train
+
+    return bpe_train(load(spark, sf_dir, "documents"), n_merges=6)
