@@ -115,6 +115,7 @@ EXTENDED_R3 = [
     "semdedup_survivors",
     "dsir_selection",
     "bpe_merge_table",
+    "bpe_subword_stats",
 ]
 
 

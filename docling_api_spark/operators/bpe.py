@@ -76,6 +76,15 @@ def bpe_train(
     integer frequency sums, so the table is bit-reproducible
     cross-engine and under repartitioning."""
     spark = docs.sparkSession
+    merges = _train_merges(docs, n_merges, text_col)
+    return spark.createDataFrame(
+        merges, "step int, p1 string, p2 string, merged string, pair_count bigint"
+    )
+
+
+def _train_merges(
+    docs: DataFrame, n_merges: int, text_col: str
+) -> list[tuple[int, str, str, str, int]]:
     vocab = word_freq_table(docs, text_col).persist()
     merges = []
     for step in range(1, n_merges + 1):
@@ -106,6 +115,24 @@ def bpe_train(
         vocab.count()  # materialize before dropping the parent cache
         old.unpersist()
     vocab.unpersist()
-    return spark.createDataFrame(
-        merges, "step int, p1 string, p2 string, merged string, pair_count bigint"
-    )
+    return merges
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode the corpus vocabulary with a learned merge list: returns
+    (word, freq, syms) with all merges applied in training order.
+
+    The whole merge stack compiles to ONE chained Catalyst expression
+    (nested replace over the space-delimited symbol string) — a single
+    whole-stage-codegen projection over the vocab-sized table, no
+    per-merge materialization and no Python in the row path. At 100 TB
+    the encode step is therefore one corpus pass (word_freq_table) plus
+    a broadcast-free map over ~10^6 vocab rows."""
+    syms = F.col("syms")
+    for p1, p2 in merges:
+        syms = _merge_pair(syms, p1, p2)
+    return word_freq_table(docs, text_col).select("word", "freq", syms.alias("syms"))

@@ -406,6 +406,24 @@ def _bpe_oracle(n_merges: int) -> str:
     return "WITH " + ",\n        ".join(ctes) + "\n        " + union
 
 
+def _bpe_subword_oracle(n_merges: int, top: int) -> str:
+    """Same chained-CTE merge derivation as :func:`_bpe_oracle`, but the
+    final select aggregates the ENCODED vocabulary V{n} — the DuckDB
+    twin of bpe_train + bpe_apply + subword rollup."""
+    train = _bpe_oracle(n_merges)
+    prefix = train[: train.rindex("SELECT 1 AS step")]
+    return (
+        prefix
+        + f"""SELECT subword,
+               CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words,
+               CAST(SUM(freq) AS BIGINT) AS total_freq
+        FROM (SELECT word, freq, unnest(syms) AS subword FROM V{n_merges})
+        GROUP BY subword
+        ORDER BY total_freq DESC, subword
+        LIMIT {top}"""
+    )
+
+
 @query(
     "bpe_merge_table",
     # Distributed BPE training (arXiv:1508.07909): corpus collapses to
@@ -424,3 +442,33 @@ def bpe_merge_table(spark, sf_dir):
     from docling_api_spark.operators.bpe import bpe_train
 
     return bpe_train(load(spark, sf_dir, "documents"), n_merges=6)
+
+
+@query(
+    "bpe_subword_stats",
+    # Train-then-ENCODE: the 6 learned merges are applied to the
+    # vocabulary as one chained Catalyst projection (operators/bpe.py:
+    # bpe_apply — nested delimited-string replaces, single codegen
+    # stage), then the encoded symbol inventory is rolled up. The
+    # oracle re-derives the same merges via the chained CTEs and
+    # aggregates the same final vocab, so this pins train AND apply.
+    oracle=_bpe_subword_oracle(6, 30),
+)
+def bpe_subword_stats(spark, sf_dir):
+    """Top-30 subword symbols (by corpus frequency) after encoding the
+    documents vocabulary with the first 6 learned BPE merges."""
+    from docling_api_spark.operators.bpe import _train_merges, bpe_apply
+
+    docs = load(spark, sf_dir, "documents")
+    merges = [(m[1], m[2]) for m in _train_merges(docs, 6, "text")]
+    enc = bpe_apply(docs, merges)
+    return (
+        enc.select("word", "freq", F.explode("syms").alias("subword"))
+        .groupBy("subword")
+        .agg(
+            F.countDistinct("word").alias("n_words"),
+            F.sum("freq").alias("total_freq"),
+        )
+        .orderBy(F.desc("total_freq"), "subword")
+        .limit(30)
+    )

@@ -51,6 +51,39 @@ def test_bpe_matches_naive_reference(spark):
     assert got == want
 
 
+def test_bpe_apply_matches_naive_encoded_vocab(spark):
+    """bpe_apply with the learned merges reproduces the naive fold's
+    final vocabulary exactly (overlap runs + merged-symbol-feeds-later-
+    merge cases included)."""
+    from docling_api_spark.operators.bpe import _train_merges, bpe_apply
+
+    words = ["aaab", "aaab", "aab", "banana", "banana", "banana", "bandana", "nan"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(words)], "doc_id long, text string"
+    )
+    merges = [(m[1], m[2]) for m in _train_merges(docs, 5, "text")]
+    got = {
+        r["word"]: (r["freq"], tuple(r["syms"]))
+        for r in bpe_apply(docs, merges).collect()
+    }
+
+    freqs = Counter(words)
+    vocab = {w: list(w) + ["</w>"] for w in freqs}
+    for p1, p2 in merges:
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == p1 and syms[i + 1] == p2:
+                    out.append(p1 + p2)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    want = {w: (freqs[w], tuple(s)) for w, s in vocab.items()}
+    assert got == want
+
+
 def test_bpe_deterministic_and_counts_non_increasing(spark):
     d = load(spark, SF_DIR, "documents")
     a = [tuple(r) for r in bpe_train(d, n_merges=4).collect()]
