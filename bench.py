@@ -116,6 +116,7 @@ EXTENDED_R3 = [
     "dsir_selection",
     "bpe_merge_table",
     "bpe_subword_stats",
+    "dedup_best_representative",
 ]
 
 

@@ -580,3 +580,92 @@ def exact_substring_remove(spark, sf_dir):
         F.size(kept).cast("bigint").alias("n_kept"),
         F.array_join(kept, " ").alias("kept_text"),
     )
+
+
+@query(
+    "dedup_best_representative", prio=20,
+    # Quality-aware survivor selection: connected components over the
+    # VERIFIED near-dup relation (Jaccard >= 0.8 — so exact copies AND
+    # tail-suffixed near copies cluster together), then keep the
+    # highest-token-count member per cluster, doc_id ascending as the
+    # tie-break. This is the curation-cascade policy that keeps the
+    # LONGEST copy (near-dup tails win over their originals), not the
+    # first — genuinely different output from dedup_clusters' min-id
+    # rule. Oracle = recursive-CTE closure over brute-force pairwise
+    # Jaccard (semantic ground truth, not an LSH transliteration) +
+    # the same window argmax.
+    oracle=f"""
+        WITH RECURSIVE {S.DUP_CORPUS_CTE.strip()},
+        sh AS (SELECT doc_id, {S.shingles3(_TOKS)} AS sh FROM dup_corpus),
+        e AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) /
+                  CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= 0.8
+        ),
+        sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        reach(a, b) AS (
+            SELECT src, dst FROM sym
+            UNION
+            SELECT r.a, s.dst FROM reach r JOIN sym s ON r.b = s.src
+        ),
+        lab AS (
+            SELECT c.doc_id,
+                   LEAST(c.doc_id, COALESCE(MIN(r.b), c.doc_id)) AS cluster
+            FROM dup_corpus c LEFT JOIN reach r ON r.a = c.doc_id
+            GROUP BY c.doc_id
+        ),
+        q AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+              FROM dup_corpus),
+        ranked AS (
+            SELECT l.cluster, l.doc_id, q.n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY l.cluster
+                                      ORDER BY q.n_tokens DESC, l.doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY l.cluster) AS cnt
+            FROM lab l JOIN q USING (doc_id)
+        )
+        SELECT cluster, doc_id AS rep_id, n_tokens AS rep_tokens,
+               CAST(cnt AS BIGINT) AS n_members
+        FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_best_representative(spark, sf_dir):
+    """One row per near-dup cluster: the highest-quality (longest,
+    doc_id-ascending tie-break) member as the kept representative.
+
+    Scale shape: edges come from the verified MinHash-LSH pipeline
+    (banded buckets, candidates-only verification — never all-pairs);
+    labels propagate over narrow (id, label) rows; quality is a
+    codegen token count; the argmax is a window partitioned BY CLUSTER
+    (shuffle key = cluster label, partitions are clique-sized — no
+    global sort, no single-task window)."""
+    from docling_api_spark.functions.hashing import tokens
+    from docling_api_spark.operators.asof import connected_components
+    from pyspark.sql import Window as W
+
+    corpus = dup_corpus(spark, sf_dir)
+    pairs = dedup_minhash(corpus, threshold=0.8).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    nodes = corpus.select(F.col("doc_id").alias("id"))
+    lab = connected_components(pairs, nodes, max_iter=3).alias("lab")
+    q = corpus.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    ).alias("q")
+    m = lab.join(q, F.col("lab.id") == F.col("q.doc_id")).select(
+        F.col("q.doc_id").alias("doc_id"),
+        F.col("lab.label").alias("cluster"),
+        F.col("q.n_tokens").alias("n_tokens"),
+    )
+    w = W.partitionBy("cluster").orderBy(F.desc("n_tokens"), "doc_id")
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(W.partitionBy("cluster")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("doc_id").alias("rep_id"),
+            F.col("n_tokens").alias("rep_tokens"),
+            F.col("cnt").cast("long").alias("n_members"),
+        )
+    )

@@ -108,7 +108,7 @@ _R3_LATE = frozenset({
     "exact_substring_spans", "exact_substring_remove",
     "global_shuffle_shard_plan", "bigram_lm_surprisal",
     "semdedup_survivors", "dsir_selection", "bpe_merge_table",
-    "bpe_subword_stats",
+    "bpe_subword_stats", "dedup_best_representative",
 })
 
 
