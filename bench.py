@@ -117,6 +117,7 @@ EXTENDED_R3 = [
     "bpe_merge_table",
     "bpe_subword_stats",
     "dedup_best_representative",
+    "streaming_exact_dedup",
 ]
 
 

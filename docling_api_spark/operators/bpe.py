@@ -97,16 +97,18 @@ def _train_merges(
                 )
             ).alias("p"),
         )
+        # single-ROW argmax fetch (the merge decision is one scalar
+        # triple — KMeans-style driver coordination, not a data
+        # collect; TakeOrderedAndProject(limit=1) on the executors)
         best = (
             pairs.groupBy("p.p1", "p.p2")
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), "p1", "p2")
-            .limit(1)
-            .collect()
+            .first()
         )
-        if not best:
+        if best is None:
             break
-        p1, p2, cnt = best[0]["p1"], best[0]["p2"], best[0]["cnt"]
+        p1, p2, cnt = best["p1"], best["p2"], best["cnt"]
         merges.append((step, p1, p2, p1 + p2, cnt))
         old = vocab
         vocab = old.select(

@@ -86,3 +86,38 @@ def streaming_windowed_metrics(spark, sf_dir):
         "n",
         "value_sum",
     )
+
+
+@query(
+    "streaming_exact_dedup", prio=20,
+    # stateful streaming hash-dedup (complete mode, availableNow); the
+    # final state store contents must equal the batch dedup_exact
+    # aggregation — MIN/COUNT commute across micro-batches, so the
+    # survivor decision is batch-identical by construction
+    oracle="""
+        WITH dup_corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 2000000 AS doc_id, text || ' near dup tail' AS text
+            FROM documents WHERE doc_id % 10 = 5
+        )
+        SELECT CAST('0x'||substr(md5(text),1,8) AS BIGINT) AS content_hash,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM dup_corpus
+        GROUP BY 1
+    """,
+)
+def streaming_exact_dedup(spark, sf_dir):
+    """Streaming twin of dedup_exact: incremental hash-groupBy dedup
+    through the streaming state store (see
+    streaming/pipeline.py:stream_exact_dedup for the scale notes)."""
+    from docling_api_spark.streaming.pipeline import stream_exact_dedup
+
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_dedup_")
+    q = stream_exact_dedup(spark, _as_stream_dir(sf_dir, "documents"), ckpt, query_name=name)
+    q.awaitTermination(300)
+    return spark.table(name)

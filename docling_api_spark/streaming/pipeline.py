@@ -247,3 +247,50 @@ def stream_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    docs_path: str,
+    checkpoint_path: str,
+    query_name: str = "stream_dedup",
+) -> StreamingQuery:
+    """Streaming exact dedup: the stateful-aggregation twin of the
+    batch ``dedup_exact`` pass (hash-groupBy, min-id survivor). State
+    per content hash = (min doc_id, copy count) — Spark's streaming
+    HashAggregate state store, updated incrementally per micro-batch,
+    so the survivor decision is deterministic (MIN commutes across
+    batches) unlike a ``dropDuplicates`` keep-first race.
+
+    Complete-mode memory sink + ``availableNow`` = drain the backlog,
+    commit, stop. At scale the state is bounded the same way the batch
+    cascade bounds its hash table — by the 32-bit key domain (narrow
+    state rows: hash → (long, long)); a production deployment with
+    event-time data would add a watermark to age out settled hashes.
+    """
+    from docling_api_spark.functions.hashing import md5_long
+
+    schema = spark.read.parquet(docs_path).schema
+    d = spark.readStream.schema(schema).parquet(docs_path).select("doc_id", "text")
+    # planted-duplicate derivation (dup_corpus's streaming twin): a
+    # self-union of the stream is two scans of the same source, each
+    # with its own file-tracking state — supported and exactly-once
+    exact = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
+    )
+    corpus = d.unionByName(exact).unionByName(near)
+    agg = corpus.select(md5_long(F.col("text")).alias("content_hash"), "doc_id").groupBy(
+        "content_hash"
+    ).agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
