@@ -173,6 +173,16 @@ def run_suite(sf_dir: str, cpus: str) -> dict:
     from docling_api_spark.session import get_spark
     from docling_api_spark.sources.catalog import load
 
+    # Host-health attribution, measured BEFORE the JVM exists (same
+    # probes --scaling records). The box exhibits transient degraded-
+    # memory windows (first-touch fault-in measured as low as 1 GB/s vs
+    # 200+ GB/s healthy — every suite query inflates ~5-10x in such a
+    # window, uniformly). Embedding the calibration in the suite
+    # artifact makes a slow-window run attributable instead of looking
+    # like a code regression.
+    cpu_cal = _cpu_calibration(int(cpus))
+    membw = _membw_calibration(int(cpus))
+
     spark = get_spark(master=f"local[{cpus}]", app_name=f"bench-{cpus}")
     qmap = registry.queries()
     _warm(spark)
@@ -240,6 +250,8 @@ def run_suite(sf_dir: str, cpus: str) -> dict:
         **ivf,
         "sf": _sf_of(sf_dir),
         "cpus": cpus,
+        "cpu_calibration": cpu_cal,
+        "membw_calibration_gbps": round(membw / 1e9, 2),
         **extras,
     }
 
