@@ -118,6 +118,7 @@ EXTENDED_R3 = [
     "bpe_subword_stats",
     "dedup_best_representative",
     "streaming_exact_dedup",
+    "heavy_hitters_sketch",
 ]
 
 

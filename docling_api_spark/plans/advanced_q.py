@@ -431,3 +431,32 @@ def sequence_packing_plan(spark, sf_dir):
         F.when(has, last).otherwise(first).alias("last_seq"),
         F.when(has, last - first + 1).otherwise(F.lit(0)).alias("n_seqs"),
     )
+
+
+@query(
+    "heavy_hitters_sketch", prio=20,
+    # Misra-Gries heavy hitters (freq >= n/40) with exact counts — the
+    # SCALE path for vocab_heavy_hitters' full-vocabulary agg: each
+    # partition emits <= k sketch candidates (guaranteed-recall
+    # superset, operators/heavyhitters.py module docstring for the
+    # pigeonhole proof), then ONE candidates-only exact count fixes
+    # precision. Oracle = the plain exact aggregation with the same
+    # integer threshold (cnt*k >= n: no division, no float lane).
+    oracle=f"""
+        WITH toks AS (SELECT unnest({S.toks("text")}) AS tok FROM documents)
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS n
+        FROM toks GROUP BY tok
+        HAVING COUNT(*) * 40 >= (SELECT COUNT(*) FROM toks)
+    """,
+)
+def heavy_hitters_sketch(spark, sf_dir):
+    """Tokens with corpus frequency >= n/40, exact counts, via the
+    per-partition MG sketch -> candidates-only count pipeline."""
+    from docling_api_spark.functions.hashing import tokens
+    from docling_api_spark.operators.heavyhitters import heavy_hitters
+
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    return heavy_hitters(toks, k=40)
