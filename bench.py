@@ -119,6 +119,8 @@ EXTENDED_R3 = [
     "dedup_best_representative",
     "streaming_exact_dedup",
     "heavy_hitters_sketch",
+    "cdc_merge_upsert",
+    "zorder_layout_stats",
 ]
 
 

@@ -1,0 +1,45 @@
+"""Data-layout operators: Z-order (Morton) clustering keys for
+multi-dimensional scan pruning.
+
+Why this matters at 100 TB: a table sorted by ONE column prunes scans
+on that column only. Writing files clustered by the bit-interleaved
+Z-order key of two (or more) columns keeps BOTH columns' min/max
+ranges tight per file, so the scan planner can skip files for
+predicates on either dimension (the technique behind
+Delta/Iceberg `OPTIMIZE ZORDER BY`; Morton 1966).
+
+The key is a pure-Catalyst integer expression (shift/mask/or chain —
+whole-stage codegen, no UDF), so adding it costs one projection before
+the layout write. Verification surface: bucket the keyspace and emit
+per-bucket (count, min/max per dimension) — exactly the file-skipping
+statistics a writer would persist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` of two non-negative integer columns
+    into a Morton key (a in even bit positions, b in odd). Both inputs
+    must fit in ``bits`` bits — mask first if unsure."""
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        key = (
+            key
+            + F.shiftleft(F.shiftright(a.cast("long"), i) % 2, 2 * i)
+            + F.shiftleft(F.shiftright(b.cast("long"), i) % 2, 2 * i + 1)
+        )
+    return key
+
+
+def zorder_key_sql(a: str, b: str, bits: int = 16) -> str:
+    """DuckDB twin of :func:`zorder_key` (same shift/mask arithmetic,
+    BIGINT lane)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((CAST({a} AS BIGINT) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((CAST({b} AS BIGINT) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"

@@ -460,3 +460,106 @@ def heavy_hitters_sketch(spark, sf_dir):
         F.explode(tokens(F.col("text"))).alias("tok")
     )
     return heavy_hitters(toks, k=40)
+
+
+@query(
+    "cdc_merge_upsert", prio=20,
+    # Batch MERGE-INTO semantics (the maintenance pass a mutable corpus
+    # needs between pipeline runs): a deterministic change feed derived
+    # from orders — deletes (key%11=3), status updates (key%7=0, delete
+    # wins on overlap), inserts (key%13=5, key+10M) — applied as
+    # anti-join (D) -> broadcast left join + coalesce (U) -> union (I).
+    # ONE shuffle-free pass when the feed is broadcastable (the normal
+    # CDC shape: feed << base); the base table is never re-sorted.
+    oracle="""
+        WITH dels AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 11 = 3),
+        upds AS (SELECT o_orderkey, 'X' AS new_status FROM orders WHERE o_orderkey % 7 = 0),
+        ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, 'N' AS o_orderstatus,
+                       o_totalprice FROM orders WHERE o_orderkey % 13 = 5)
+        SELECT b.o_orderkey,
+               COALESCE(u.new_status, b.o_orderstatus) AS o_orderstatus,
+               b.o_totalprice
+        FROM orders b
+        LEFT JOIN upds u USING (o_orderkey)
+        WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM dels)
+        UNION ALL
+        SELECT * FROM ins
+    """,
+)
+def cdc_merge_upsert(spark, sf_dir):
+    """Apply a change feed (update/delete/insert) to the orders base
+    table with MERGE-INTO semantics; returns the merged table."""
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    dels = base.filter(F.col("o_orderkey") % 11 == 3).select("o_orderkey")
+    upds = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", F.lit("X").alias("new_status")
+    )
+    ins = base.filter(F.col("o_orderkey") % 13 == 5).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    survivors = base.join(F.broadcast(dels), "o_orderkey", "left_anti")
+    merged = survivors.join(F.broadcast(upds), "o_orderkey", "left").select(
+        "o_orderkey",
+        F.coalesce("new_status", "o_orderstatus").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    return merged.unionByName(ins)
+
+
+def _zorder_oracle() -> str:
+    from docling_api_spark.operators.layout import zorder_key_sql
+
+    z = zorder_key_sql("o_custkey", "day")
+    return f"""
+        WITH d AS (
+            SELECT o_custkey,
+                   date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+            FROM orders
+        )
+        SELECT ({z} >> 26) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+               CAST(MIN(day) AS BIGINT) AS min_day, CAST(MAX(day) AS BIGINT) AS max_day
+        FROM d GROUP BY 1
+    """
+
+
+@query(
+    "zorder_layout_stats", prio=20,
+    # Z-order (Morton) clustering key over (o_custkey, order epoch-day)
+    # + per-bucket file-skipping statistics — the layout pass that
+    # makes BOTH dimensions pruneable at scan time (Delta/Iceberg
+    # OPTIMIZE ZORDER BY). The key is one codegen projection
+    # (operators/layout.py — shift/mask chain, no UDF); bucketing the
+    # 32-bit keyspace into 64 ranges emits exactly the min/max stats a
+    # clustered writer persists per file.
+    oracle=_zorder_oracle(),
+)
+def zorder_layout_stats(spark, sf_dir):
+    """64-bucket Z-order layout statistics for orders clustered on
+    (customer, order day): per bucket the row count and both
+    dimensions' min/max — tight on BOTH axes, which is the pruning
+    property a single-column sort cannot give."""
+    from docling_api_spark.operators.layout import zorder_key
+
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+    ).cast("long")
+    d = o.select("o_custkey", day.alias("day"))
+    z = zorder_key(F.col("o_custkey"), F.col("day"))
+    return (
+        d.select(F.shiftright(z, 26).alias("bucket"), "o_custkey", "day")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+    )
