@@ -121,6 +121,7 @@ EXTENDED_R3 = [
     "heavy_hitters_sketch",
     "cdc_merge_upsert",
     "zorder_layout_stats",
+    "scd2_user_state",
 ]
 
 

@@ -563,3 +563,57 @@ def zorder_layout_stats(spark, sf_dir):
             F.max("day").alias("max_day"),
         )
     )
+
+
+@query(
+    "scd2_user_state", prio=20,
+    # SCD-type-2 dimension build from a change log: collapse each
+    # user's event stream to state-CHANGE rows (lag filter), then
+    # assign validity intervals (lead) — the standard two-stacked-
+    # windows construction, ONE shuffle total (both windows share the
+    # user_id partitioning; Catalyst plans a single Exchange + two
+    # Window nodes over the same sort).
+    oracle="""
+        WITH chg AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM (
+                SELECT user_id, event_type, ts, event_id,
+                       LAG(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev
+                FROM events
+            )
+            WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               strftime(LEAD(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id),
+                        '%Y-%m-%d %H:%M:%S') AS valid_to,
+               (LEAD(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL) AS is_current
+        FROM chg
+    """,
+)
+def scd2_user_state(spark, sf_dir):
+    """Versioned per-user state history (SCD type 2) from the events
+    change log: one row per state change with [valid_from, valid_to)
+    and an is_current flag."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .drop("prev")
+    )
+    nxt = F.lead("ts").over(w)
+    return chg.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
