@@ -122,6 +122,7 @@ EXTENDED_R3 = [
     "cdc_merge_upsert",
     "zorder_layout_stats",
     "scd2_user_state",
+    "corpus_snapshot_diff",
 ]
 
 

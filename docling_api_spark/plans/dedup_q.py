@@ -669,3 +669,68 @@ def dedup_best_representative(spark, sf_dir):
             F.col("cnt").cast("long").alias("n_members"),
         )
     )
+
+
+@query(
+    "corpus_snapshot_diff", prio=20,
+    # Snapshot diff between two corpus versions (the ops primitive for
+    # incremental re-processing: only 'added'/'changed' docs re-enter
+    # the pipeline). Both sides project to narrow (doc_id, hash32)
+    # BEFORE the full-outer join, so the shuffle never carries text —
+    # the same narrow-key discipline as dedup_exact. v2 is a
+    # deterministic twin CTE (drop %17=2, edit %10=5, add %20=0 under
+    # new ids).
+    oracle=f"""
+        WITH v2 AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 5 THEN text || ' v2' ELSE text END AS text
+            FROM documents WHERE doc_id % 17 <> 2
+            UNION ALL
+            SELECT doc_id + 3000000 AS doc_id, text || ' brand new' AS text
+            FROM documents WHERE doc_id % 20 = 0
+        ),
+        h1 AS (SELECT doc_id, {S.md5long("text")} AS h FROM documents),
+        h2 AS (SELECT doc_id, {S.md5long("text")} AS h FROM v2)
+        SELECT COALESCE(h1.doc_id, h2.doc_id) AS doc_id,
+               CASE WHEN h1.doc_id IS NULL THEN 'added'
+                    WHEN h2.doc_id IS NULL THEN 'removed'
+                    ELSE 'changed' END AS change
+        FROM h1 FULL OUTER JOIN h2 ON h1.doc_id = h2.doc_id
+        WHERE h1.doc_id IS NULL OR h2.doc_id IS NULL OR h1.h <> h2.h
+    """,
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    """added/removed/changed docs between corpus v1 and the derived v2
+    snapshot, by 32-bit content hash over narrow (id, hash) rows."""
+    from docling_api_spark.functions.hashing import md5_long
+
+    v1 = load(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = (
+        v1.filter(F.col("doc_id") % 17 != 2)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 == 5, F.concat("text", F.lit(" v2")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            v1.filter(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 3000000).alias("doc_id"),
+                F.concat("text", F.lit(" brand new")).alias("text"),
+            )
+        )
+    )
+    h1 = v1.select("doc_id", md5_long(F.col("text")).alias("h")).alias("h1")
+    h2 = v2.select("doc_id", md5_long(F.col("text")).alias("h")).alias("h2")
+    j = h1.join(h2, F.col("h1.doc_id") == F.col("h2.doc_id"), "full_outer")
+    return j.filter(
+        F.col("h1.doc_id").isNull()
+        | F.col("h2.doc_id").isNull()
+        | (F.col("h1.h") != F.col("h2.h"))
+    ).select(
+        F.coalesce("h1.doc_id", "h2.doc_id").alias("doc_id"),
+        F.when(F.col("h1.doc_id").isNull(), F.lit("added"))
+        .when(F.col("h2.doc_id").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+    )
