@@ -123,6 +123,7 @@ EXTENDED_R3 = [
     "zorder_layout_stats",
     "scd2_user_state",
     "corpus_snapshot_diff",
+    "winnow_fingerprints",
 ]
 
 

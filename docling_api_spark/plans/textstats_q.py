@@ -472,3 +472,76 @@ def bpe_subword_stats(spark, sf_dir):
         .orderBy(F.desc("total_freq"), "subword")
         .limit(30)
     )
+
+
+_WINNOW_K = 5   # k-gram length (tokens)
+_WINNOW_W = 8   # winnowing window (hashes)
+_POS_BASE = 1048576  # 2^20: packs (hash, rightmost-pos) into ONE bigint
+
+
+@query(
+    "winnow_fingerprints", prio=20,
+    # Winnowing (Schleimer, Wilkerson, Aiken, SIGMOD 2003): from the
+    # positional k-gram hash stream, select the minimum of every
+    # w-window, rightmost on ties — guarantees any shared substring of
+    # length >= w+k-1 tokens yields a shared fingerprint while keeping
+    # density ~2/(w+1). Tie-break and argmin are ONE integer min over
+    # key = h*2^20 + (2^20 - pos) (h is 32-bit, pos < 2^20: key < 2^53,
+    # exact in both engines) — no struct comparators, no window-frame
+    # arg_min semantics to match across engines.
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {S.toks("text")} AS tk FROM documents),
+        wh AS (
+            SELECT doc_id,
+                   [{S.md5long(f"array_to_string(tk[i:i+{_WINNOW_K - 1}],' ')")}
+                    for i in range(1, len(tk) - {_WINNOW_K} + 2)] AS wh
+            FROM t
+        ),
+        ks AS (
+            SELECT doc_id,
+                   list_distinct([
+                       list_min([wh[p] * {_POS_BASE} + ({_POS_BASE} - p)
+                                 for p in range(j, j + {_WINNOW_W})])
+                       for j in range(1, len(wh) - {_WINNOW_W} + 2)]) AS ks
+            FROM wh
+        )
+        SELECT doc_id,
+               CAST({_POS_BASE} - (k % {_POS_BASE}) AS BIGINT) AS pos,
+               CAST(k // {_POS_BASE} AS BIGINT) AS fp
+        FROM ks, unnest(ks) AS u(k)
+    """,
+)
+def winnow_fingerprints(spark, sf_dir):
+    """Winnowed (pos, fingerprint) selections per document — the
+    position-robust document fingerprint set used for plagiarism-style
+    near-dup detection. Pure Catalyst higher-order functions over the
+    positional window-hash array; the corpus text never shuffles (only
+    the selected (doc_id, pos, fp) rows leave the scan stage)."""
+    from docling_api_spark.functions.hashing import tokens, window_hashes
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", window_hashes(tokens(F.col("text")), _WINNOW_K).alias("wh"))
+    m = F.size("wh")
+    keys = F.transform(
+        F.sequence(F.lit(1), m - (_WINNOW_W - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.sequence(j, j + (_WINNOW_W - 1)),
+                lambda p: F.element_at(F.col("wh"), p.cast("int")) * _POS_BASE
+                + (_POS_BASE - p),
+            )
+        ),
+    )
+    sel = F.array_distinct(keys)
+    guarded = F.when(m >= _WINNOW_W, sel).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    k = F.col("k")
+    return (
+        base.select("doc_id", F.explode(guarded).alias("k"))
+        .select(
+            "doc_id",
+            (F.lit(_POS_BASE) - k % _POS_BASE).alias("pos"),
+            ((k - k % _POS_BASE) / _POS_BASE).cast("long").alias("fp"),
+        )
+    )
