@@ -124,6 +124,7 @@ EXTENDED_R3 = [
     "scd2_user_state",
     "corpus_snapshot_diff",
     "winnow_fingerprints",
+    "winnow_dup_pairs",
 ]
 
 

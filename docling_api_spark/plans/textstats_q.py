@@ -517,10 +517,27 @@ def winnow_fingerprints(spark, sf_dir):
     near-dup detection. Pure Catalyst higher-order functions over the
     positional window-hash array; the corpus text never shuffles (only
     the selected (doc_id, pos, fp) rows leave the scan stage)."""
+    d = load(spark, sf_dir, "documents")
+    k = F.col("k")
+    return (
+        _winnow_keyed(d).select("doc_id", F.explode("keys").alias("k"))
+        .select(
+            "doc_id",
+            (F.lit(_POS_BASE) - k % _POS_BASE).alias("pos"),
+            ((k - k % _POS_BASE) / _POS_BASE).cast("long").alias("fp"),
+        )
+    )
+
+
+def _winnow_keyed(docs):
+    """docs(doc_id, text) → (doc_id, keys: array<bigint>) of distinct
+    packed winnow selections (see winnow_fingerprints for the key
+    layout)."""
     from docling_api_spark.functions.hashing import tokens, window_hashes
 
-    d = load(spark, sf_dir, "documents")
-    base = d.select("doc_id", window_hashes(tokens(F.col("text")), _WINNOW_K).alias("wh"))
+    base = docs.select(
+        "doc_id", window_hashes(tokens(F.col("text")), _WINNOW_K).alias("wh")
+    )
     m = F.size("wh")
     keys = F.transform(
         F.sequence(F.lit(1), m - (_WINNOW_W - 1)),
@@ -532,16 +549,70 @@ def winnow_fingerprints(spark, sf_dir):
             )
         ),
     )
-    sel = F.array_distinct(keys)
-    guarded = F.when(m >= _WINNOW_W, sel).otherwise(
+    guarded = F.when(m >= _WINNOW_W, F.array_distinct(keys)).otherwise(
         F.array().cast("array<bigint>")
     )
-    k = F.col("k")
-    return (
-        base.select("doc_id", F.explode(guarded).alias("k"))
-        .select(
-            "doc_id",
-            (F.lit(_POS_BASE) - k % _POS_BASE).alias("pos"),
-            ((k - k % _POS_BASE) / _POS_BASE).cast("long").alias("fp"),
+    return base.select("doc_id", guarded.alias("keys"))
+
+
+_WINNOW_SHARED_MIN = 3
+
+
+@query(
+    "winnow_dup_pairs", prio=20,
+    # Fingerprint-based near-dup candidate pairs (the MOSS use of
+    # winnowing): docs sharing >= 3 distinct winnowed k-gram
+    # fingerprints, counted exactly. Spark side buckets BY FINGERPRINT
+    # (self-join on fp — the only shuffle key; bucket sizes are
+    # fingerprint-popularity-bounded, never corpus-wide) then counts
+    # shared fps per pair; oracle = brute-force per-pair
+    # list_intersect over the same per-doc fingerprint sets.
+    oracle=f"""
+        WITH {S.DUP_CORPUS_CTE.strip()},
+        t AS (SELECT doc_id, {S.toks("text")} AS tk FROM dup_corpus),
+        wh AS (
+            SELECT doc_id,
+                   [{S.md5long(f"array_to_string(tk[i:i+{_WINNOW_K - 1}],' ')")}
+                    for i in range(1, len(tk) - {_WINNOW_K} + 2)] AS wh
+            FROM t
+        ),
+        fps AS (
+            SELECT doc_id,
+                   list_distinct([
+                       list_min([wh[p] * {_POS_BASE} + ({_POS_BASE} - p)
+                                 for p in range(j, j + {_WINNOW_W})]) // {_POS_BASE}
+                       for j in range(1, len(wh) - {_WINNOW_W} + 2)]) AS fps
+            FROM wh
         )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               CAST(len(list_intersect(a.fps, b.fps)) AS BIGINT) AS shared
+        FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.fps, b.fps)) >= {_WINNOW_SHARED_MIN}
+    """,
+)
+def winnow_dup_pairs(spark, sf_dir):
+    """Near-dup candidate pairs over the planted-duplicate corpus:
+    >= 3 shared winnowed fingerprints, exact shared count."""
+    from docling_api_spark.plans.dedup_q import dup_corpus
+
+    keyed = _winnow_keyed(dup_corpus(spark, sf_dir))
+    # pos-independent fingerprint set: strip the packed position lane
+    fps = keyed.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform("keys", lambda k: ((k - k % _POS_BASE) / _POS_BASE).cast("long"))
+            )
+        ).alias("fp"),
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= _WINNOW_SHARED_MIN)
     )
