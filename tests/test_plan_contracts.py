@@ -117,3 +117,28 @@ def test_dedup_pipelines_never_cartesian(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_cdc_merge_base_never_shuffles(spark):
+    """MERGE-INTO with a broadcastable feed: every Exchange must be a
+    broadcast — the base table is scanned once, never repartitioned."""
+    plan = _plan(spark, "cdc_merge_upsert")
+    assert plan.count("Exchange") == plan.count("BroadcastExchange"), plan
+
+
+def test_scd2_windows_share_one_shuffle(spark):
+    """Both SCD2 windows (lag change filter, lead validity) share the
+    user_id partitioning: exactly ONE Exchange in the whole plan."""
+    plan = _plan(spark, "scd2_user_state")
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Window") >= 2
+
+
+def test_winnow_pairs_shuffle_is_narrow(spark):
+    """The winnow dup-pair join must not partition by document text:
+    no 'text' column may appear in any Exchange's output partitioning
+    (fingerprint + doc_id only)."""
+    plan = _plan(spark, "winnow_dup_pairs")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line.split("hashpartitioning", 1)[1][:120], line
