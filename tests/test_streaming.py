@@ -162,3 +162,53 @@ def test_stream_ingest_end_to_end(spark, tmp_path):
             b.token_count,
         )
         assert list(a.embedding) == list(b.embedding)
+
+
+def test_streaming_dedup_incremental_resume(spark, tmp_path):
+    """stream_exact_dedup drains backlog part 1, then a new file lands
+    and a SECOND run on the same checkpoint folds it in incrementally —
+    final state must equal the batch dedup over BOTH parts (MIN/COUNT
+    commute across micro-batches), and the second run must not
+    reprocess part 1 (state store carries it)."""
+    from docling_api_spark.functions.hashing import md5_long
+    from docling_api_spark.streaming.pipeline import stream_exact_dedup
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    d = str(tmp_path / "docs")
+    docs.filter(F.col("doc_id") < 250).coalesce(1).write.parquet(d)
+
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_exact_dedup(spark, d, ckpt, query_name="dedup_inc_1")
+    q.awaitTermination(120)
+
+    docs.filter(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(d)
+    q2 = stream_exact_dedup(spark, d, ckpt, query_name="dedup_inc_2")
+    q2.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("dedup_inc_2").collect()))
+
+    # batch twin over the full directory (same planted-dup derivation)
+    full = spark.read.parquet(d)
+    exact = full.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = full.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
+    )
+    corpus = full.select("doc_id", "text").unionByName(exact).unionByName(near)
+    want = sorted(
+        map(
+            tuple,
+            corpus.select(md5_long(F.col("text")).alias("content_hash"), "doc_id")
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+            .collect(),
+        )
+    )
+    assert got == want
+    # resume actually skipped part 1: the dup-corpus derivation scans
+    # each file 3x (self-union), so the second run reads exactly
+    # 3 x 250 = 750 rows — a full reprocess would read 3 x 500 = 1500
+    progress = q2.lastProgress
+    assert progress is not None
+    assert progress["numInputRows"] == 750, progress["numInputRows"]
