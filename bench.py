@@ -125,6 +125,7 @@ EXTENDED_R3 = [
     "corpus_snapshot_diff",
     "winnow_fingerprints",
     "winnow_dup_pairs",
+    "content_defined_chunks",
 ]
 
 

@@ -616,3 +616,79 @@ def winnow_dup_pairs(spark, sf_dir):
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= _WINNOW_SHARED_MIN)
     )
+
+
+_CDC_K = 3    # boundary window (tokens)
+_CDC_D = 64   # boundary divisor -> expected chunk ~64 tokens
+
+
+@query(
+    "content_defined_chunks", prio=20,
+    # Content-defined chunking (LBFS, Muthitacharoen et al. SOSP 2001;
+    # the rsync family): a chunk boundary falls AFTER token p whenever
+    # the k-token window hash ending at p is ≡ 0 mod D — boundaries
+    # depend only on LOCAL content, so inserting text into a document
+    # shifts chunk hashes only near the edit (unlike fixed-size
+    # chunking, where one insertion rewrites every downstream chunk).
+    # Emitting (start, len, chunk_hash) rows gives the content-
+    # addressable chunk store its keys. Entirely higher-order Catalyst
+    # expressions; only narrow chunk rows leave the scan.
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {S.toks("text")} AS tk FROM documents),
+        w AS (
+            SELECT doc_id, tk, len(tk) AS n,
+                   [p for p in range({_CDC_K}, len(tk) + 1)
+                    if {S.md5long(f"array_to_string(tk[p-{_CDC_K - 1}:p],' ')")} % {_CDC_D} = 0] AS cuts
+            FROM t
+        ),
+        c AS (
+            SELECT doc_id, tk,
+                   list_prepend(1, [c + 1 for c in cuts]) AS starts,
+                   list_append(cuts, n) AS ends
+            FROM w
+        )
+        SELECT doc_id,
+               CAST(starts[i] AS BIGINT) AS start,
+               CAST(ends[i] - starts[i] + 1 AS BIGINT) AS chunk_len,
+               {S.md5long("array_to_string(tk[starts[i]:ends[i]],' ')")} AS chunk_hash
+        FROM c, unnest(range(1, len(starts) + 1)) AS u(i)
+        WHERE starts[i] <= ends[i]
+    """,
+)
+def content_defined_chunks(spark, sf_dir):
+    """Insert-robust (content-defined) token chunks per document with
+    content-addressable chunk hashes."""
+    from docling_api_spark.functions.hashing import md5_long, tokens, window_hashes
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", tokens(F.col("text")).alias("tk")).select(
+        "doc_id", "tk", window_hashes(F.col("tk"), _CDC_K).alias("wh")
+    )
+    n = F.size("tk")
+    cuts = F.when(
+        n >= _CDC_K,
+        F.filter(
+            F.sequence(F.lit(_CDC_K), n),
+            lambda p: F.element_at(F.col("wh"), (p - (_CDC_K - 1)).cast("int"))
+            % _CDC_D
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(1)), F.transform(cuts, lambda c: c + 1))
+    ends = F.concat(cuts, F.array(n))
+    chunks = F.filter(
+        F.zip_with(starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))),
+        lambda c: c["s"] <= c["e"],
+    )
+    c = F.col("c")
+    return (
+        base.select("doc_id", "tk", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            c["s"].cast("long").alias("start"),
+            (c["e"] - c["s"] + 1).cast("long").alias("chunk_len"),
+            md5_long(
+                F.array_join(F.slice("tk", c["s"], c["e"] - c["s"] + 1), " ")
+            ).alias("chunk_hash"),
+        )
+    )
