@@ -76,7 +76,8 @@ def bpe_train(
     integer frequency sums, so the table is bit-reproducible
     cross-engine and under repartitioning."""
     spark = docs.sparkSession
-    merges = _train_merges(docs, n_merges, text_col)
+    merges, vocab0 = _train_merges(docs, n_merges, text_col)
+    vocab0.unpersist()
     return spark.createDataFrame(
         merges, "step int, p1 string, p2 string, merged string, pair_count bigint"
     )
@@ -84,18 +85,28 @@ def bpe_train(
 
 def _train_merges(
     docs: DataFrame, n_merges: int, text_col: str
-) -> list[tuple[int, str, str, str, int]]:
-    vocab = word_freq_table(docs, text_col).persist()
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Returns (merges, vocab0) where vocab0 is the PERSISTED initial
+    word-frequency table — callers that also encode (bpe_apply) reuse
+    it so the corpus is scanned exactly once; standalone callers must
+    unpersist it (bpe_train does)."""
+    vocab0 = word_freq_table(docs, text_col).persist()
+    vocab = vocab0
     merges = []
+    # guard: sequence(1, k) is DESCENDING [1,0] for k<1, not empty (the
+    # hashing.window_hashes pitfall) — a fully-merged single-symbol word
+    # would otherwise emit out-of-bounds pair structs (ANSI error, or
+    # NULL pairs that poison the argmax)
+    pair_expr = (
+        "CASE WHEN size(syms) >= 2 THEN"
+        " transform(sequence(1, size(syms) - 1),"
+        " i -> struct(syms[i-1] AS p1, syms[i] AS p2))"
+        " ELSE CAST(array() AS array<struct<p1:string,p2:string>>) END"
+    )
     for step in range(1, n_merges + 1):
         pairs = vocab.select(
             "freq",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(syms) - 1),"
-                    " i -> struct(syms[i-1] AS p1, syms[i] AS p2))"
-                )
-            ).alias("p"),
+            F.explode(F.expr(pair_expr)).alias("p"),
         )
         # single-ROW argmax fetch (the merge decision is one scalar
         # triple — KMeans-style driver coordination, not a data
@@ -115,15 +126,18 @@ def _train_merges(
             "word", "freq", _merge_pair(F.col("syms"), p1, p2).alias("syms")
         ).persist()
         vocab.count()  # materialize before dropping the parent cache
-        old.unpersist()
-    vocab.unpersist()
-    return merges
+        if old is not vocab0:  # keep vocab0 cached for encode reuse
+            old.unpersist()
+    if vocab is not vocab0:
+        vocab.unpersist()
+    return merges, vocab0
 
 
 def bpe_apply(
-    docs: DataFrame,
+    docs: DataFrame | None,
     merges: list[tuple[str, str]],
     text_col: str = "text",
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Encode the corpus vocabulary with a learned merge list: returns
     (word, freq, syms) with all merges applied in training order.
@@ -131,10 +145,12 @@ def bpe_apply(
     The whole merge stack compiles to ONE chained Catalyst expression
     (nested replace over the space-delimited symbol string) — a single
     whole-stage-codegen projection over the vocab-sized table, no
-    per-merge materialization and no Python in the row path. At 100 TB
-    the encode step is therefore one corpus pass (word_freq_table) plus
-    a broadcast-free map over ~10^6 vocab rows."""
+    per-merge materialization and no Python in the row path. Pass the
+    ``vocab0`` returned by training as ``vocab`` to reuse its cached
+    word-frequency table (the corpus then scans exactly ONCE across
+    train + encode); otherwise the table is rebuilt from ``docs``."""
     syms = F.col("syms")
     for p1, p2 in merges:
         syms = _merge_pair(syms, p1, p2)
-    return word_freq_table(docs, text_col).select("word", "freq", syms.alias("syms"))
+    base = vocab if vocab is not None else word_freq_table(docs, text_col)
+    return base.select("word", "freq", syms.alias("syms"))

@@ -513,7 +513,10 @@ def cdc_merge_upsert(spark, sf_dir):
 def _zorder_oracle() -> str:
     from docling_api_spark.operators.layout import zorder_key_sql
 
-    z = zorder_key_sql("o_custkey", "day")
+    # dims masked to the key's 16-bit lanes (zorder_key's contract);
+    # no-op at gate SFs (custkey < 65536, epoch-day < 65536) but keeps
+    # the interleave well-defined at SF >= 0.44 where custkey overflows
+    z = zorder_key_sql("(o_custkey % 65536)", "(day % 65536)")
     return f"""
         WITH d AS (
             SELECT o_custkey,
@@ -551,7 +554,7 @@ def zorder_layout_stats(spark, sf_dir):
         F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
     ).cast("long")
     d = o.select("o_custkey", day.alias("day"))
-    z = zorder_key(F.col("o_custkey"), F.col("day"))
+    z = zorder_key(F.col("o_custkey") % 65536, F.col("day") % 65536)
     return (
         d.select(F.shiftright(z, 26).alias("bucket"), "o_custkey", "day")
         .groupBy("bucket")

@@ -52,7 +52,10 @@ def streaming_sessionize(spark, sf_dir):
     name = f"sess_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_sess_")
     q = stream_sessionize(spark, _as_stream_dir(sf_dir, "events"), ckpt, query_name=name)
-    q.awaitTermination(300)
+    # fail LOUDLY on timeout instead of reading a mid-stream memory
+    # sink (degraded-host windows inflate the drain 5-10x; a partial
+    # read would masquerade as a semantics regression)
+    assert q.awaitTermination(300), "streaming drain timed out"
     return spark.table(name)
 
 
@@ -76,7 +79,10 @@ def streaming_windowed_metrics(spark, sf_dir):
     name = f"metrics_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_metrics_")
     q = stream_metrics_query(spark, _as_stream_dir(sf_dir, "events"), ckpt, query_name=name)
-    q.awaitTermination(300)
+    # fail LOUDLY on timeout instead of reading a mid-stream memory
+    # sink (degraded-host windows inflate the drain 5-10x; a partial
+    # read would masquerade as a semantics regression)
+    assert q.awaitTermination(300), "streaming drain timed out"
     t = spark.table(name)
     # NTZ→TZ→window→format round-trips the wall clock (same reason
     # windowed_event_counts stays TZ-robust)
@@ -119,5 +125,8 @@ def streaming_exact_dedup(spark, sf_dir):
     name = f"dedup_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_dedup_")
     q = stream_exact_dedup(spark, _as_stream_dir(sf_dir, "documents"), ckpt, query_name=name)
-    q.awaitTermination(300)
+    # fail LOUDLY on timeout instead of reading a mid-stream memory
+    # sink (degraded-host windows inflate the drain 5-10x; a partial
+    # read would masquerade as a semantics regression)
+    assert q.awaitTermination(300), "streaming drain timed out"
     return spark.table(name)

@@ -460,8 +460,9 @@ def bpe_subword_stats(spark, sf_dir):
     from docling_api_spark.operators.bpe import _train_merges, bpe_apply
 
     docs = load(spark, sf_dir, "documents")
-    merges = [(m[1], m[2]) for m in _train_merges(docs, 6, "text")]
-    enc = bpe_apply(docs, merges)
+    merges, vocab0 = _train_merges(docs, 6, "text")
+    # reuse training's cached word-freq table: ONE corpus scan total
+    enc = bpe_apply(None, [(m[1], m[2]) for m in merges], vocab=vocab0)
     return (
         enc.select("word", "freq", F.explode("syms").alias("subword"))
         .groupBy("subword")
@@ -476,7 +477,9 @@ def bpe_subword_stats(spark, sf_dir):
 
 _WINNOW_K = 5   # k-gram length (tokens)
 _WINNOW_W = 8   # winnowing window (hashes)
-_POS_BASE = 1048576  # 2^20: packs (hash, rightmost-pos) into ONE bigint
+_POS_BASE = 1 << 30  # packs (hash, rightmost-pos) into ONE bigint;
+# pos lane is 30 bits — a document's token count is bounded well below
+# 2^30 by the 2 GiB string limit, and h < 2^32 keeps keys < 2^62
 
 
 @query(
@@ -486,9 +489,10 @@ _POS_BASE = 1048576  # 2^20: packs (hash, rightmost-pos) into ONE bigint
     # w-window, rightmost on ties — guarantees any shared substring of
     # length >= w+k-1 tokens yields a shared fingerprint while keeping
     # density ~2/(w+1). Tie-break and argmin are ONE integer min over
-    # key = h*2^20 + (2^20 - pos) (h is 32-bit, pos < 2^20: key < 2^53,
-    # exact in both engines) — no struct comparators, no window-frame
-    # arg_min semantics to match across engines.
+    # key = h*2^30 + (2^30 - pos) (h is 32-bit: key < 2^62; unpacking
+    # uses only integer shift/mod, so every step is exact in both
+    # engines) — no struct comparators, no window-frame arg_min
+    # semantics to match across engines.
     oracle=f"""
         WITH t AS (SELECT doc_id, {S.toks("text")} AS tk FROM documents),
         wh AS (
@@ -524,9 +528,15 @@ def winnow_fingerprints(spark, sf_dir):
         .select(
             "doc_id",
             (F.lit(_POS_BASE) - k % _POS_BASE).alias("pos"),
-            ((k - k % _POS_BASE) / _POS_BASE).cast("long").alias("fp"),
+            _unpack_fp(k).alias("fp"),
         )
     )
+
+
+def _unpack_fp(k):
+    """Packed winnow key -> fingerprint lane (integer shift: exact for
+    the full < 2^62 key range, unlike a double division)."""
+    return F.shiftright(k, 30)
 
 
 def _winnow_keyed(docs):
@@ -601,7 +611,7 @@ def winnow_dup_pairs(spark, sf_dir):
         "doc_id",
         F.explode(
             F.array_distinct(
-                F.transform("keys", lambda k: ((k - k % _POS_BASE) / _POS_BASE).cast("long"))
+                F.transform("keys", _unpack_fp)
             )
         ).alias("fp"),
     )

@@ -51,6 +51,22 @@ def test_bpe_matches_naive_reference(spark):
     assert got == want
 
 
+def test_bpe_word_collapses_to_single_symbol(spark):
+    """A frequent short word fully merges into ONE symbol mid-training
+    (syms size 1 → the sequence(1,0)-is-descending pitfall): training
+    must keep matching the naive reference, drawing later merges from
+    the other words instead of emitting out-of-bounds/NULL pairs."""
+    words = ["ab"] * 10 + ["xyz"] * 2
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(words)], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_train(docs, n_merges=5).collect()]
+    want = _naive_bpe(Counter(words), 5)
+    assert got == want
+    # 'ab' really did collapse: its merge chain is steps 1-2
+    assert got[0][1:4] == ("a", "b", "ab") and got[1][1:4] == ("ab", "</w>", "ab</w>")
+
+
 def test_bpe_apply_matches_naive_encoded_vocab(spark):
     """bpe_apply with the learned merges reproduces the naive fold's
     final vocabulary exactly (overlap runs + merged-symbol-feeds-later-
@@ -61,7 +77,9 @@ def test_bpe_apply_matches_naive_encoded_vocab(spark):
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(words)], "doc_id long, text string"
     )
-    merges = [(m[1], m[2]) for m in _train_merges(docs, 5, "text")]
+    trained, vocab0 = _train_merges(docs, 5, "text")
+    vocab0.unpersist()
+    merges = [(m[1], m[2]) for m in trained]
     got = {
         r["word"]: (r["freq"], tuple(r["syms"]))
         for r in bpe_apply(docs, merges).collect()

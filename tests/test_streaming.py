@@ -208,7 +208,9 @@ def test_streaming_dedup_incremental_resume(spark, tmp_path):
     assert got == want
     # resume actually skipped part 1: the dup-corpus derivation scans
     # each file 3x (self-union), so the second run reads exactly
-    # 3 x 250 = 750 rows — a full reprocess would read 3 x 500 = 1500
+    # 3 x (appended rows) — a full reprocess would read 3 x (all rows)
+    n_part2 = docs.filter(F.col("doc_id") >= 250).count()
+    assert n_part2 > 0
     progress = q2.lastProgress
     assert progress is not None
-    assert progress["numInputRows"] == 750, progress["numInputRows"]
+    assert progress["numInputRows"] == 3 * n_part2, progress["numInputRows"]
