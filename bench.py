@@ -126,6 +126,7 @@ EXTENDED_R3 = [
     "winnow_fingerprints",
     "winnow_dup_pairs",
     "content_defined_chunks",
+    "ewma_user_value",
 ]
 
 

@@ -620,3 +620,40 @@ def scd2_user_state(spark, sf_dir):
         F.date_format(nxt, "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "ewma_user_value", prio=20,
+    # Exponentially-weighted moving average per user (alpha=0.5, seeded
+    # with the first event) — the order-DEPENDENT fold Spark expresses
+    # with the aggregate() higher-order function over a sort_array'd
+    # per-group list (same family as the sessionize fold and the
+    # rolling fingerprint). One shuffle (groupBy user); per-group array
+    # bounded by user activity; alpha=0.5 is exact in binary and both
+    # engines fold in the identical (ts, event_id) order, so doubles
+    # match bit-for-bit before the final round.
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               ROUND(list_reduce(array_agg(CAST(value AS DOUBLE)
+                                           ORDER BY ts, event_id),
+                                 (acc, x) -> 0.5*acc + 0.5*x), 6) AS ewma_value
+        FROM events GROUP BY user_id
+    """,
+)
+def ewma_user_value(spark, sf_dir):
+    """Per-user EWMA (alpha=0.5) of event values in event-time order."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    vals = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"].cast("double"),
+    )
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.size(vals) - 1),
+        F.element_at(vals, 1),
+        lambda acc, x: 0.5 * acc + 0.5 * x,
+    )
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(ewma, 6).alias("ewma_value"),
+    )
