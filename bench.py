@@ -127,6 +127,8 @@ EXTENDED_R3 = [
     "winnow_dup_pairs",
     "content_defined_chunks",
     "ewma_user_value",
+    "key_skew_profile",
+    "table_profile_orders",
 ]
 
 

@@ -657,3 +657,74 @@ def ewma_user_value(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.round(ewma, 6).alias("ewma_value"),
     )
+
+
+@query(
+    "key_skew_profile", prio=20,
+    # Join-key skew diagnosis (the report that decides salting/AQE skew
+    # thresholds BEFORE a 100 TB join): rows-per-key histogram, i.e.
+    # count-of-counts over the fact table's join key. Two map-side-
+    # combined aggs; the second operates on the already-tiny key table.
+    oracle="""
+        WITH per_key AS (
+            SELECT l_orderkey, COUNT(*) AS rows_per_key
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT rows_per_key, COUNT(*) AS n_keys
+        FROM per_key GROUP BY rows_per_key
+    """,
+)
+def key_skew_profile(spark, sf_dir):
+    """rows-per-key histogram of lineitem's join key — the skew report
+    a pipeline consults before choosing salting vs plain hash join."""
+    li = load(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count("*").alias("rows_per_key"))
+    return per_key.groupBy("rows_per_key").agg(F.count("*").alias("n_keys"))
+
+
+@query(
+    "table_profile_orders", prio=20,
+    # Data-quality profile (ingest audit): per-column null count +
+    # exact distinct count for the orders table, unpivoted to one row
+    # per column. ONE pass for the null counts (conditional sums) +
+    # one count-distinct agg per column — at 100 TB the distincts
+    # downgrade to approx_count_distinct; the audit shape (scan-once,
+    # narrow result) is the point.
+    oracle="""
+        SELECT col, n_nulls, n_distinct FROM (
+            SELECT 'o_orderstatus' AS col,
+                   CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority',
+                   CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey',
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+            FROM orders
+        )
+    """,
+)
+def table_profile_orders(spark, sf_dir):
+    """Per-column (nulls, distincts) audit for orders, one row per
+    profiled column."""
+    o = load(spark, sf_dir, "orders")
+
+    def prof(col: str):
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+        )
+
+    return (
+        prof("o_orderstatus")
+        .unionByName(prof("o_orderpriority"))
+        .unionByName(prof("o_custkey"))
+    )
