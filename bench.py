@@ -129,6 +129,8 @@ EXTENDED_R3 = [
     "ewma_user_value",
     "key_skew_profile",
     "table_profile_orders",
+    "value_outlier_filter",
+    "mutual_nn_pairs",
 ]
 
 

@@ -728,3 +728,49 @@ def table_profile_orders(spark, sf_dir):
         .unionByName(prof("o_orderpriority"))
         .unionByName(prof("o_custkey"))
     )
+
+
+@query(
+    "value_outlier_filter", prio=20,
+    # Tukey/IQR outlier audit per event_type: exact interpolated
+    # quartiles (percentile = quantile_cont, the proven-equal pair from
+    # median_price_by_status), 1.5×IQR fences, conditional count. The
+    # quartile table is group-cardinality-sized and broadcasts back —
+    # the fact stream is scanned twice but never shuffled on a wide key.
+    oracle="""
+        WITH s AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.25) AS q1,
+                   quantile_cont(value, 0.75) AS q3
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN e.value < s.q1 - 1.5*(s.q3 - s.q1)
+                              OR e.value > s.q3 + 1.5*(s.q3 - s.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               ROUND(MIN(s.q1 - 1.5*(s.q3 - s.q1)), 4) AS lo_bound,
+               ROUND(MIN(s.q3 + 1.5*(s.q3 - s.q1)), 4) AS hi_bound
+        FROM events e JOIN s USING (event_type)
+        GROUP BY e.event_type
+    """,
+)
+def value_outlier_filter(spark, sf_dir):
+    """Per-event-type IQR outlier audit: exact quartile fences and the
+    count of values outside them."""
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    stats = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    j = e.join(F.broadcast(stats), "event_type")
+    is_out = (F.col("value") < lo) | (F.col("value") > hi)
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        F.round(F.min(lo), 4).alias("lo_bound"),
+        F.round(F.min(hi), 4).alias("hi_bound"),
+    )

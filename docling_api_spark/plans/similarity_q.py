@@ -286,3 +286,66 @@ def semdedup_survivors(spark, sf_dir):
         F.sum(F.when(F.col("dropped"), F.col("id")).otherwise(0)).alias("dropped_id_sum"),
         F.sum(F.when(~F.col("dropped"), F.col("id")).otherwise(0)).alias("kept_id_sum"),
     )
+
+
+@query(
+    "mutual_nn_pairs", prio=20,
+    # Mutual nearest neighbors (reciprocal top-1 cosine) — the
+    # alignment/bitext-mining primitive: keep (a,b) only when each is
+    # the other's best match. Exact brute-force leg capped at 200
+    # vectors (the doc_embedding_dup_pairs precedent: the quadratic
+    # DuckDB cosine oracle is the cost ceiling, not Spark); the scale
+    # path composes the same reciprocal-rank-1 filter over SRP-LSH
+    # bucketed candidates. Tie-break (sim DESC, neighbor ASC) applied
+    # AFTER the 6-dp round so both engines rank identically.
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+        p AS (
+            SELECT a.vec_id AS id, b.vec_id AS nb,
+                   {S.cosine("a.embedding", "b.embedding", 384)} AS sim
+            FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        ),
+        t AS (
+            SELECT id, nb, sim,
+                   ROW_NUMBER() OVER (PARTITION BY id
+                                      ORDER BY sim DESC, nb) AS rn
+            FROM p
+        )
+        SELECT x.id AS a, x.nb AS b, x.sim AS sim
+        FROM t x JOIN t y ON x.id = y.nb AND x.nb = y.id AND x.id < y.nb
+        WHERE x.rn = 1 AND y.rn = 1
+    """,
+)
+def mutual_nn_pairs(spark, sf_dir):
+    """Reciprocal-top-1 cosine pairs over the (capped) embeddings."""
+    from pyspark.sql import Window as W
+
+    from docling_api_spark.functions.hashing import cosine
+
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", "embedding")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    sims = a.join(F.broadcast(b), F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("id"),
+        F.col("b.vec_id").alias("nb"),
+        cosine(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
+    )
+    w = W.partitionBy("id").orderBy(F.desc("sim"), "nb")
+    top1 = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    x, y = top1.alias("x"), top1.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.id") == F.col("y.nb"))
+            & (F.col("x.nb") == F.col("y.id"))
+            & (F.col("x.id") < F.col("y.nb")),
+        )
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("x.nb").alias("b"),
+            F.col("x.sim").alias("sim"),
+        )
+    )
