@@ -142,3 +142,14 @@ def test_winnow_pairs_shuffle_is_narrow(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text" not in line.split("hashpartitioning", 1)[1][:120], line
+
+
+def test_mg_heavy_hitters_counts_candidates_only(spark):
+    """The exact-count stage must be candidates-restricted: the token
+    stream joins the broadcast candidate set (BroadcastHashJoin), never
+    sort-merge; and the Python sketch stage is Arrow-batched."""
+    plan = _plan(spark, "heavy_hitters_sketch")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
