@@ -131,6 +131,7 @@ EXTENDED_R3 = [
     "table_profile_orders",
     "value_outlier_filter",
     "mutual_nn_pairs",
+    "session_funnel",
 ]
 
 

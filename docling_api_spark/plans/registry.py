@@ -110,7 +110,7 @@ _R3_LATE = frozenset({
     "semdedup_survivors", "dsir_selection", "bpe_merge_table",
     "bpe_subword_stats", "dedup_best_representative",
     "streaming_exact_dedup", "heavy_hitters_sketch", "cdc_merge_upsert", "zorder_layout_stats", "scd2_user_state", "corpus_snapshot_diff", "winnow_fingerprints", "winnow_dup_pairs", "ewma_user_value", "key_skew_profile", "table_profile_orders", "value_outlier_filter",
-    "mutual_nn_pairs", "content_defined_chunks",
+    "mutual_nn_pairs", "session_funnel", "content_defined_chunks",
 })
 
 

@@ -103,3 +103,67 @@ def sessionize_events(spark, sf_dir):
         F.countDistinct("session_id").alias("n_sessions"),
         F.count("*").alias("n_events"),
     )
+
+
+@query(
+    "session_funnel", prio=20,
+    # Session funnel conversion: the sessionize construction (same lag
+    # + conditional-cumsum, one user_id shuffle) rolled up per session
+    # to view/click/purchase flags, then the corpus-level funnel —
+    # sessions at each stage and the strict view->click->purchase
+    # completion count. All windows share the user_id partitioning.
+    oracle="""
+        WITH o AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL 30 MINUTE OR
+                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ),
+        s AS (SELECT user_id, event_type,
+                     SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM o),
+        per AS (
+            SELECT user_id, session_id,
+                   MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+                   MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase
+            FROM s GROUP BY user_id, session_id
+        )
+        SELECT COUNT(*) AS n_sessions,
+               CAST(SUM(has_view) AS BIGINT) AS n_view,
+               CAST(SUM(has_view * has_click) AS BIGINT) AS n_view_click,
+               CAST(SUM(has_view * has_click * has_purchase) AS BIGINT) AS n_full_funnel
+        FROM per
+    """,
+)
+def session_funnel(spark, sf_dir):
+    """view -> click -> purchase funnel over 30-min-gap sessions."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "tsec", F.unix_timestamp(F.col("ts").cast("timestamp"))
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(F.col("tsec") - F.lag("tsec").over(w) > 1800, 1).otherwise(
+        F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    )
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = ev.withColumn("session_id", F.sum(new_sess).over(wsum))
+
+    def has(t: str):
+        return F.max(F.when(F.col("event_type") == t, 1).otherwise(0))
+
+    per = sess.groupBy("user_id", "session_id").agg(
+        has("view").alias("has_view"),
+        has("click").alias("has_click"),
+        has("purchase").alias("has_purchase"),
+    )
+    return per.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("has_view").cast("long").alias("n_view"),
+        F.sum(F.col("has_view") * F.col("has_click")).cast("long").alias("n_view_click"),
+        F.sum(F.col("has_view") * F.col("has_click") * F.col("has_purchase"))
+        .cast("long")
+        .alias("n_full_funnel"),
+    )
