@@ -46,6 +46,25 @@ def seeded_hash(col: Column, seed: int) -> Column:
     return md5_long(F.concat(col.cast("string"), F.lit(f"#{seed}")))
 
 
+def let(col: Column, build) -> Column:
+    """Let-bind an expression: evaluate ``col`` ONCE per row and pass
+    the bound lambda variable to ``build``.
+
+    Why this exists: Catalyst's CollapseProject merges adjacent
+    Projects by textual substitution, so a column computed in one
+    ``select`` and referenced inside a higher-order-function lambda in
+    the next is re-inlined as the FULL expression and re-evaluated
+    once per lambda invocation (HOFs are interpreted, outside codegen
+    subexpression elimination). Measured on ``winnow_fingerprints``:
+    O(windows) re-evaluations of the whole tokenize→md5 chain per row,
+    73 s → 1.4 s at sf0.01 after binding. Wrapping the value in a
+    one-element array and consuming it through ``transform``'s lambda
+    variable makes the binding part of the expression tree itself —
+    no cache/persist barrier needed, survives any Project collapse.
+    """
+    return F.element_at(F.transform(F.array(col), build), 1)
+
+
 def tokens(col: Column) -> Column:
     """Whitespace tokens, empties dropped (array<string>).
 

@@ -542,27 +542,35 @@ def _unpack_fp(k):
 def _winnow_keyed(docs):
     """docs(doc_id, text) → (doc_id, keys: array<bigint>) of distinct
     packed winnow selections (see winnow_fingerprints for the key
-    layout)."""
-    from docling_api_spark.functions.hashing import tokens, window_hashes
+    layout).
 
-    base = docs.select(
-        "doc_id", window_hashes(tokens(F.col("text")), _WINNOW_K).alias("wh")
-    )
-    m = F.size("wh")
-    keys = F.transform(
-        F.sequence(F.lit(1), m - (_WINNOW_W - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                F.sequence(j, j + (_WINNOW_W - 1)),
-                lambda p: F.element_at(F.col("wh"), p.cast("int")) * _POS_BASE
-                + (_POS_BASE - p),
-            )
-        ),
-    )
-    guarded = F.when(m >= _WINNOW_W, F.array_distinct(keys)).otherwise(
-        F.array().cast("array<bigint>")
-    )
-    return base.select("doc_id", guarded.alias("keys"))
+    The window-hash array is LET-BOUND (``let``): downstream callers
+    explode ``keys``, and CollapseProject would otherwise re-inline the
+    full tokenize→md5 chain into every per-element lambda reference —
+    the VERDICT r3 #1 scale-killer (378 s at sf0.1; O(m·W) full-chain
+    re-evaluations per row). Binding keeps the whole plan zero-shuffle:
+    the corpus text never leaves the scan stage, and only selected
+    (doc_id, key) rows exit."""
+    from docling_api_spark.functions.hashing import let, tokens, window_hashes
+
+    def build(wh):
+        m = F.size(wh)
+        keys = F.transform(
+            F.sequence(F.lit(1), m - (_WINNOW_W - 1)),
+            lambda j: F.array_min(
+                F.transform(
+                    F.sequence(j, j + (_WINNOW_W - 1)),
+                    lambda p: F.element_at(wh, p.cast("int")) * _POS_BASE
+                    + (_POS_BASE - p),
+                )
+            ),
+        )
+        return F.when(m >= _WINNOW_W, F.array_distinct(keys)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    keyed = let(window_hashes(tokens(F.col("text")), _WINNOW_K), build)
+    return docs.select("doc_id", keyed.alias("keys"))
 
 
 _WINNOW_SHARED_MIN = 3

@@ -153,3 +153,33 @@ def test_mg_heavy_hitters_counts_candidates_only(spark):
     assert "SortMergeJoin" not in plan
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_winnow_fingerprints_generate_reads_bound_array(spark):
+    """VERDICT r3 #1: the packed-key arithmetic must read the window-
+    hash array through a let-bound lambda variable (functions.hashing
+    .let), never an inlined recompute of the full tokenize->md5 chain
+    — CollapseProject re-inlining `wh` into the per-element lambda was
+    an O(m*W) full-chain re-evaluation per row (378 s -> 4 s at sf0.1).
+    Also pins the zero-shuffle shape: selections are map-side only."""
+    import re
+
+    plan = _plan(spark, "winnow_fingerprints")
+    assert "Exchange" not in plan, plan
+    hits = 0
+    for m in re.finditer(re.escape("* 1073741824"), plan):
+        ctx = plan[max(0, m.start() - 150) : m.start()]
+        assert "element_at(lambda" in ctx, ctx
+        hits += 1
+    assert hits >= 1, plan
+
+
+def test_cdc_generate_reads_attribute_not_inlined_hashes(spark):
+    """content_defined_chunks' boundary filter must probe the window-
+    hash array as a bound ATTRIBUTE (wh#N), not an inlined md5 chain:
+    `element_at(` may never be directly applied to a transform(...)
+    subtree (the quadratic Generate shape VERDICT r3 #1 flags)."""
+    plan = _plan(spark, "content_defined_chunks")
+    assert "element_at(transform(array(filter(split" not in plan.replace(
+        "element_at(transform(array(tk#", "BOUND(#"
+    ), plan
