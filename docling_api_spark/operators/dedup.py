@@ -341,27 +341,16 @@ def semdedup(
 
     from docling_api_spark.functions.hashing import ivf_centroids
 
+    from docling_api_spark.operators.search import centroid_scores
+
     cents = ivf_centroids(dim, n_cells)
-    scored = vectors.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("cell"),
-                        cosine(
-                            F.col(vec_col),
-                            F.array(*[F.lit(x) for x in cents[c]]),
-                            scale,
-                        ).alias("ccos"),
-                    )
-                    for c in range(n_cells)
-                ]
-            )
-        ).alias("a"),
+    scored = centroid_scores(
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        cents,
+        "v",
+        scale,
     )
-    w = W.partitionBy("id").orderBy(F.desc("a.ccos"), "a.cell")
+    w = W.partitionBy("id").orderBy(F.desc("ccos"), "cell")
     # persist: the within-cell self-join reads the assignment from
     # both sides; without the cache each side recomputes all n_cells
     # centroid cosines. The L2 norm is computed ONCE per vector here so
@@ -378,7 +367,7 @@ def semdedup(
     assigned = (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select("id", "v", F.col("a.cell").alias("cell"), norm.alias("nrm"))
+        .select("id", "v", "cell", norm.alias("nrm"))
         .persist()
     )
     left, right = assigned.alias("l"), assigned.alias("r")
