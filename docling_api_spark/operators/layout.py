@@ -22,15 +22,22 @@ from pyspark.sql import functions as F
 
 
 def zorder_key(a: Column, b: Column, bits: int = 16) -> Column:
-    """Interleave the low ``bits`` of two non-negative integer columns
-    into a Morton key (a in even bit positions, b in odd). Both inputs
-    must fit in ``bits`` bits — mask first if unsure."""
+    """Interleave the low ``bits`` of two integer columns into a
+    Morton key (a in even bit positions, b in odd). Bits are extracted
+    with ``& 1`` (bitwiseAND), NOT ``% 2``: Spark's ``%`` follows the
+    dividend's sign, so a negative input would silently diverge from
+    the DuckDB twin's ``& 1`` instead of failing — the two expressions
+    now match bit-for-bit for ALL inputs, and the documented
+    non-negative contract is a safety net rather than a correctness
+    requirement (ADVICE r3)."""
     key = F.lit(0).cast("long")
     for i in range(bits):
         key = (
             key
-            + F.shiftleft(F.shiftright(a.cast("long"), i) % 2, 2 * i)
-            + F.shiftleft(F.shiftright(b.cast("long"), i) % 2, 2 * i + 1)
+            + F.shiftleft(F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(
+                F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
         )
     return key
 

@@ -513,10 +513,12 @@ def cdc_merge_upsert(spark, sf_dir):
 def _zorder_oracle() -> str:
     from docling_api_spark.operators.layout import zorder_key_sql
 
-    # dims masked to the key's 16-bit lanes (zorder_key's contract);
-    # no-op at gate SFs (custkey < 65536, epoch-day < 65536) but keeps
-    # the interleave well-defined at SF >= 0.44 where custkey overflows
-    z = zorder_key_sql("(o_custkey % 65536)", "(day % 65536)")
+    # dims masked to the key's 16-bit lanes (zorder_key's contract)
+    # with & (bit-exact for any sign in both engines, unlike the
+    # dividend-sign-following %); no-op at gate SFs (custkey < 65536,
+    # epoch-day < 65536) but keeps the interleave well-defined at
+    # SF >= 0.44 where custkey overflows
+    z = zorder_key_sql("(o_custkey & 65535)", "(day & 65535)")
     return f"""
         WITH d AS (
             SELECT o_custkey,
@@ -554,7 +556,10 @@ def zorder_layout_stats(spark, sf_dir):
         F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
     ).cast("long")
     d = o.select("o_custkey", day.alias("day"))
-    z = zorder_key(F.col("o_custkey") % 65536, F.col("day") % 65536)
+    z = zorder_key(
+        F.col("o_custkey").bitwiseAND(F.lit(65535)),
+        F.col("day").bitwiseAND(F.lit(65535)),
+    )
     return (
         d.select(F.shiftright(z, 26).alias("bucket"), "o_custkey", "day")
         .groupBy("bucket")

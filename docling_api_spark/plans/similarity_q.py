@@ -302,7 +302,7 @@ def semdedup_survivors(spark, sf_dir):
         WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
         p AS (
             SELECT a.vec_id AS id, b.vec_id AS nb,
-                   {S.cosine("a.embedding", "b.embedding", 384)} AS sim
+                   {S.cosine("a.embedding", "b.embedding", DIM)} AS sim
             FROM e a JOIN e b ON a.vec_id <> b.vec_id
         ),
         t AS (

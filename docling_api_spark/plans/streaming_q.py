@@ -55,7 +55,8 @@ def streaming_sessionize(spark, sf_dir):
     # fail LOUDLY on timeout instead of reading a mid-stream memory
     # sink (degraded-host windows inflate the drain 5-10x; a partial
     # read would masquerade as a semantics regression)
-    assert q.awaitTermination(300), "streaming drain timed out"
+    if not q.awaitTermination(300):
+        raise RuntimeError("streaming drain timed out")
     return spark.table(name)
 
 
@@ -82,7 +83,8 @@ def streaming_windowed_metrics(spark, sf_dir):
     # fail LOUDLY on timeout instead of reading a mid-stream memory
     # sink (degraded-host windows inflate the drain 5-10x; a partial
     # read would masquerade as a semantics regression)
-    assert q.awaitTermination(300), "streaming drain timed out"
+    if not q.awaitTermination(300):
+        raise RuntimeError("streaming drain timed out")
     t = spark.table(name)
     # NTZ→TZ→window→format round-trips the wall clock (same reason
     # windowed_event_counts stays TZ-robust)
@@ -128,5 +130,6 @@ def streaming_exact_dedup(spark, sf_dir):
     # fail LOUDLY on timeout instead of reading a mid-stream memory
     # sink (degraded-host windows inflate the drain 5-10x; a partial
     # read would masquerade as a semantics regression)
-    assert q.awaitTermination(300), "streaming drain timed out"
+    if not q.awaitTermination(300):
+        raise RuntimeError("streaming drain timed out")
     return spark.table(name)
