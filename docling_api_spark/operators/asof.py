@@ -122,7 +122,19 @@ def connected_components(
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    lab = nodes.select(F.col("id"), F.col("id").alias("label"))
+    # Iterate over edge ENDPOINTS only: a node with no edge can never
+    # receive a foreign label, so carrying the corpus-wide node set
+    # through every propagation round (VERDICT r3 #5: a shuffle per
+    # round over ALL docs — 26.5 s at 6k docs) only re-derives
+    # label = id. The propagation graph is the verified-pairs graph —
+    # cluster-bounded, orders of magnitude smaller than the corpus at
+    # real dup rates — and isolated nodes join back once at the end.
+    sym = sym.persist()
+    lab = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+    )
     prev = None
     for _ in range(max_iter):
         prop = (
@@ -132,11 +144,29 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("label").alias("label"))
         )
-        lab = prop.persist()
-        # materialize this round, then release the previous round's
-        # cache (also truncates the lineage the next join replays)
-        lab.count()
+        nxt = prop.persist()
+        # ONE action per round: the changed-label count both
+        # materializes this round's cache (truncating the lineage the
+        # next join replays) and decides the early exit — a stable
+        # fixpoint makes every later round a no-op, so exiting is
+        # label-identical (one-hop-per-round semantics unchanged,
+        # pinned by test_connected_components_*)
+        stable = (
+            nxt.alias("n")
+            .join(lab.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+            == 0
+        )
         if prev is not None:
             prev.unpersist()
-        prev = lab
-    return lab
+        prev = nxt
+        lab = nxt
+        if stable:
+            break
+    sym.unpersist()
+    # isolated nodes keep their own id; ONE corpus-wide join total
+    # (AQE broadcasts the label side when it is small enough)
+    return nodes.join(lab, "id", "left").select(
+        "id", F.coalesce("label", "id").alias("label")
+    )
