@@ -134,6 +134,41 @@ EXTENDED_R3 = [
     "session_funnel",
 ]
 
+# FROZEN as of round 4: winnow_fingerprints + the heaviest round-3
+# additions, totalled separately so round-over-round attribution of
+# the expensive tail survives registry growth (VERDICT r3 ask #8).
+# Members are timed once (inside their home section above); this set
+# only defines the extra per-set total.
+FROZEN_HEAVY = [
+    "winnow_fingerprints",
+    "dedup_best_representative",
+    "semdedup_survivors",
+    "curation_pipeline_audit",
+    "exact_substring_spans",
+    "exact_substring_remove",
+    "dedup_cascade_survivors",
+    "ivf_fixed_topk",
+]
+
+
+def _membw_quick_gbps() -> float:
+    """Single-process first-touch fault-in probe (~128 MB, < 1 s even
+    degraded). The box intermittently drops to 0.01-1 GB/s fresh-page
+    fault-in vs 200+ healthy, inflating every query 5-10x; probing
+    MID-run (not just before the JVM) makes a window that opens
+    mid-suite attributable (VERDICT r3 #2: BENCH_r03 carried window-
+    inflated numbers with only a pre-run calibration)."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    a = np.ones(2**27, dtype=np.uint8)
+    gbps = 0.128 / (time.perf_counter() - t0)
+    del a
+    return round(gbps, 3)
+
+
+DEGRADED_GBPS = 5.0  # healthy boxes measure 200+; degraded 0.01-1
+
 
 def _ivf_build_probe(spark, sf_dir: str, n_probes: int = 5) -> dict:
     """IVF in its scale deployment shape: index built ONCE (KMeans fit
@@ -201,42 +236,37 @@ def run_suite(sf_dir: str, cpus: str) -> dict:
     qmap = registry.queries()
     _warm(spark)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qmap.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # the dedup/search pipelines persist intermediates; drop them so
-        # accumulated cache blocks don't GC-tax later queries' timings
-        spark.catalog.clearCache()
+    # per-suite-half host-health probes: a degraded window opening
+    # mid-run is marked, not mistaken for a code regression
+    membw_probes: dict[str, float] = {"pre": _membw_quick_gbps()}
 
+    def _time_set(names) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = qmap.get(name)
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            out[name] = round(time.perf_counter() - t0, 3)
+            # the dedup/search pipelines persist intermediates; drop
+            # them so accumulated cache blocks don't GC-tax later
+            # queries' timings
+            spark.catalog.clearCache()
+        return out
+
+    timings = _time_set(HEADLINE)
+    membw_probes["post_headline"] = _membw_quick_gbps()
     total = round(sum(timings.values()), 3)
 
     # round-2 operators, timed separately — NOT in the frozen headline
     # metric (round-over-round comparability), reported for visibility
-    extended: dict[str, float] = {}
-    for name in EXTENDED:
-        fn = qmap.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        extended[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+    extended = _time_set(EXTENDED)
+    membw_probes["post_extended"] = _membw_quick_gbps()
 
     # round-3 operators, same per-query discipline, separate section
-    extended_r3: dict[str, float] = {}
-    for name in EXTENDED_R3:
-        fn = qmap.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        extended_r3[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+    extended_r3 = _time_set(EXTENDED_R3)
+    membw_probes["post_extended_r3"] = _membw_quick_gbps()
 
     # IVF in deployment shape: build once, probe many (BENCH item 10)
     ivf = _ivf_build_probe(spark, sf_dir)
@@ -252,22 +282,41 @@ def run_suite(sf_dir: str, cpus: str) -> dict:
         extras["extraction_docs_per_sec"] = round(n_docs / t, 1)
         extras["extraction_mb_per_sec"] = round((n_bytes or 0) / 1e6 / t, 2)
 
-    return {
+    all_timed = {**timings, **extended, **extended_r3}
+    heavy = {n: all_timed[n] for n in FROZEN_HEAVY if n in all_timed}
+    degraded = min(membw_probes.values()) < DEGRADED_GBPS
+    # COMPACT stdout record (VERDICT r3 #2: the single JSON line
+    # outgrew the driver's tail capture and lost the headline header;
+    # per-query detail for the extended sections now lives in
+    # BENCH_DETAIL.json, keeping the stdout line well under any tail
+    # budget while the frozen-34 per-query map stays inline)
+    compact = {
         "metric": "headline_suite_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "queries_extended_r2": extended,
         "extended_total_sec": round(sum(extended.values()), 3),
-        "queries_extended_r3": extended_r3,
         "extended_r3_total_sec": round(sum(extended_r3.values()), 3),
+        "frozen_heavy_total_sec": round(sum(heavy.values()), 3),
         **ivf,
         "sf": _sf_of(sf_dir),
         "cpus": cpus,
         "cpu_calibration": cpu_cal,
         "membw_calibration_gbps": round(membw / 1e9, 2),
+        "membw_probes_gbps": membw_probes,
+        "degraded_memory_window": degraded,
         **extras,
+        "detail_file": "BENCH_DETAIL.json",
     }
+    detail = {
+        **compact,
+        "queries_extended_r2": extended,
+        "queries_extended_r3": extended_r3,
+        "queries_frozen_heavy": heavy,
+    }
+    with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=2)
+    return compact
 
 
 def _warm(spark) -> None:
@@ -573,6 +622,7 @@ def main() -> None:
             {
                 "trial": "auto",
                 "ts": int(time.time()),
+                "cpus": [lv["cpus"] for lv in rep["levels"]],
                 "scaling_efficiency": rep["scaling_efficiency"],
                 "docs_per_sec": [lv["docs_per_sec"] for lv in rep["levels"]],
             },

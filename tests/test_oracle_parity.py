@@ -111,45 +111,31 @@ def test_parity_survives_foreign_session_timezone(spark, name):
 
 
 def test_registry_priority_ordering():
-    """The driver checks a prefix of the registry (r1/r2 evidence: each
+    """The driver checks a prefix of the registry (r1-r3 evidence: each
     CORRECTNESS file holds exactly the first 50 entries), so iteration
-    order is a correctness-evidence contract. Round-3 plan: warmup
-    absorber first, then the four fixed-but-driver-unproven r1 hash
-    fails, then the fixed r2 red row, then new r3 gates, then every
-    query whose only driver row is from round 1."""
-    names = list(_QUERIES)
-    assert names[0] == "token_count_bpe"  # prio 5: absorbs session warmup
-    assert names[1:5] == [
-        "history_stats", "embed_hash_stats", "chunk_embed_pipeline", "ingest_end_to_end",
-    ]
-    assert names[5] == "simhash_signatures"  # the one red r2 row, cast fixed
-    # inside the checked-50 prefix: every query whose only driver row is
-    # from round 1, every round-3-changed query, and every new r3 gate.
-    # (The redundant gates may spill past 50 — each is double-covered by
-    # an r1 driver row plus this suite.)
+    order is a correctness-evidence contract. Round-4 plan: warmup
+    absorber first, then the two never-driver-checked entries, then
+    every query whose code or oracle changed in round 4, then every
+    query whose latest driver row is from round 1, then two r2-stale
+    picks over the round-4-touched operators (exactly 50)."""
     from docling_api_spark.plans.registry import (
-        _R1_ONLY,
-        _R3_CHANGED,
-        _R3_LATE,
-        _R3_NEW,
+        _R4_CHANGED,
+        _R4_NEVER,
+        _R4_STALE_R1,
+        _R4_STALE_R2_PICKS,
     )
 
-    prefix = set(names[:50])
-    assert _R3_CHANGED <= prefix
-    # the late-round additions (sampling suite, substring dedup family,
-    # semdedup/dsir) have NO driver row yet, so they outrank the tail
-    # of the r1-only re-proves they displace — every displaced query
-    # keeps its green r1 driver row + this suite's parity coverage
-    assert _R3_NEW <= prefix and _R3_LATE <= prefix
-    displaced = _R1_ONLY - prefix
-    assert len(displaced) <= len(_R3_LATE)
-    new_gates = {
-        "media_page_render_fallback", "media_sidecar_dims", "chunk_hybrid_invariants",
-        "boilerplate_line_dedup", "multi_query_knn_rrf", "benchmark_decontamination",
-        "curation_pipeline_audit", "gopher_quality_flags", "sequence_packing_plan",
-        "pii_scrub",
-    }
-    assert new_gates <= prefix
+    names = list(_QUERIES)
+    assert names[0] == "token_count_bpe"  # prio 5: absorbs session warmup
+    assert set(names[1:3]) == _R4_NEVER
+    assert set(names[3:16]) == _R4_CHANGED
+    assert set(names[16:48]) == _R4_STALE_R1
+    assert set(names[48:50]) == _R4_STALE_R2_PICKS
+    assert (
+        1 + len(_R4_NEVER) + len(_R4_CHANGED)
+        + len(_R4_STALE_R1) + len(_R4_STALE_R2_PICKS)
+        == 50
+    )
     # every oracle key is a registered query, same relative order
     q_order = [n for n in names if n in _ORACLES]
     assert q_order == list(_ORACLES)
