@@ -53,7 +53,7 @@ def extract_raw_span(
         # scanned pdf pages and standalone image documents (the
         # reference's IMAGE input format, README.md:7) share the OCR
         # path: text only exists if recognition runs
-        return ocr_spans(text) if ocr.do_ocr else []
+        return ocr_spans(text, provider=ocr.provider) if ocr.do_ocr else []
     kernel = KERNELS.get(kind)
     if kernel is None:
         t = " ".join(text.split())

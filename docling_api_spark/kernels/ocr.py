@@ -36,10 +36,21 @@ _TEXTUAL_KINDS = frozenset({"text", "heading", "list_item", "caption", "code"})
 
 @dataclass(frozen=True)
 class OcrOptions:
-    """The reference's OCR knobs (docling_converter.py:46,56-61)."""
+    """The reference's OCR knobs (docling_converter.py:46,56-61).
+
+    ``provider`` is the pluggable recognition engine (any object with
+    ``recognize(payload) -> list[str]``); None selects the default
+    ``StubOcrProvider``. Carried here so a user-supplied engine flows
+    through ``extract(corpus, ocr=OcrOptions(do_ocr=True,
+    provider=MyEngine()))`` into every worker — the provider object is
+    pickled once into the task closure, never per row. A provider that
+    raises on a document quarantines that document (extract's per-doc
+    error path), never the job; the contract is pinned by
+    tests/test_provider_conformance.py."""
 
     do_ocr: bool = False
     force_full_page_ocr: bool = False
+    provider: object | None = None
 
 
 class StubOcrProvider:

@@ -85,20 +85,52 @@ def decode_features(payload: bytes, dim: int = 16, codec: str = "stub") -> np.nd
     return (raw % 1000).astype(np.float32) / 1000.0
 
 
-def media_features(media: DataFrame, dim: int = 16, codec: str = "stub") -> DataFrame:
+class StubCodecProvider:
+    """Default codec provider: the deterministic fake format above.
+
+    The provider protocol a real codec (PIL/libvips/ffmpeg) implements
+    to plug into ``media_features``: ``header(payload) -> (w, h) |
+    None`` and ``features(payload, dim) -> float32 ndarray | None``,
+    with None meaning "undecodable" (the row is kept with ``ok=false``,
+    never dropped and never a task failure). Conformance is pinned by
+    tests/test_provider_conformance.py."""
+
+    def header(self, payload: bytes) -> tuple[int, int] | None:
+        return decode_header(payload, "stub")
+
+    def features(self, payload: bytes, dim: int) -> np.ndarray | None:
+        return decode_features(payload, dim, "stub")
+
+
+def media_features(
+    media: DataFrame, dim: int = 16, codec: str = "stub", provider=None
+) -> DataFrame:
     """media table → per-media decoded dims + feature vector.
 
     Arrow-batched ``mapInPandas``; one output row per input row
     (``ok=false`` for undecodable payloads — kept, not dropped, so
-    error rates are aggregable downstream)."""
+    error rates are aggregable downstream). ``provider`` (a
+    ``StubCodecProvider``-shaped object) overrides the codec; a
+    provider that raises on a payload quarantines that row as
+    ``ok=false`` rather than failing the task."""
+    prov = provider
+    if prov is None:
+        if codec != "stub":
+            # surface the unsupported-codec error at plan-build time,
+            # not inside every task
+            decode_header(b"", codec)
+        prov = StubCodecProvider()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             refs, ws, hs, feats, oks = [], [], [], [], []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
-                hdr = decode_header(b, codec)
-                vec = decode_features(b, dim, codec)
+                try:
+                    hdr = prov.header(b)
+                    vec = prov.features(b, dim) if hdr is not None else None
+                except Exception:  # noqa: BLE001 — per-row quarantine, never fail the task
+                    hdr, vec = None, None
                 refs.append(ref)
                 ws.append(hdr[0] if hdr else 0)
                 hs.append(hdr[1] if hdr else 0)
