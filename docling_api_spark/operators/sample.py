@@ -269,3 +269,63 @@ def dsir_weights(
         F.round("mean_raw", 6).alias("mean_weight"),
         (F.col("mean_raw") >= F.col("med")).alias("kept"),
     )
+
+
+def domain_cap_keep(
+    df: DataFrame,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 100,
+    salt: str = "domcap-v1",
+) -> DataFrame:
+    """RefinedWeb-style per-domain frequency cap: keep at most ``cap``
+    docs per domain, chosen deterministically by hash rank (md5 of the
+    salted id, ties by id) so re-runs and resumed jobs keep the same
+    docs.
+
+    Scale shape: the rank is computed on a NARROW (id, domain, hash)
+    projection — the window's sort shuffle never carries document
+    text — then the keep decision joins back on the id. At 100 TB a
+    mega-domain concentrates its narrow rows in one task; that task
+    sorts ~domain-count 24-byte rows, which is fine to ~10^8 docs per
+    domain (beyond that, pre-filter with an approximate per-domain
+    count and only rank domains over the cap).
+
+    Output: input columns + ``dom_rank`` (1-based hash rank within the
+    domain) + ``kept``.
+    """
+    from pyspark.sql.window import Window
+
+    h = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}")))
+    narrow = df.select(F.col(id_col), F.col(domain_col), h.alias("_h"))
+    w = Window.partitionBy(domain_col).orderBy(F.col("_h"), F.col(id_col))
+    ranked = narrow.select(
+        F.col(id_col), F.row_number().over(w).alias("dom_rank")
+    )
+    return df.join(ranked, id_col).withColumn("kept", F.col("dom_rank") <= cap)
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str = "source",
+    val_per_mille: int = 100,
+    test_per_mille: int = 100,
+    salt: str = "gsplit-v1",
+) -> DataFrame:
+    """Leakage-safe train/val/test split keyed by GROUP, not by doc:
+    every doc of a group (domain / site / author) lands in the same
+    split, so near-duplicates within a group can never straddle the
+    train/eval boundary (the classic contamination path a per-doc
+    split leaves open).
+
+    Same zero-shuffle scan-predicate shape as :func:`dataset_split` —
+    the split is a pure function of the group key, so it is stable
+    under repartitioning and resumption and needs no group table.
+    """
+    b = split_bucket(F.col(group_col).cast("string"), salt)
+    split = (
+        F.when(b < test_per_mille, "test")
+        .when(b < test_per_mille + val_per_mille, "val")
+        .otherwise("train")
+    )
+    return df.withColumn("split", split)

@@ -53,10 +53,13 @@ def query(name: str, oracle: str | None = None, prio: int = 50):
 
 # --- Round-4 driver-prefix plan -------------------------------------------
 # The driver checks the first 50 registry entries each round. Slot
-# budget (1 + 2 + 13 + 32 + 2 = 50):
+# budget (1 + 2 + 4 + 13 + 28 + 2 = 50):
 #   5  — cheapest query first (absorbs session warmup)
 #   6  — the two registry entries that have NEVER had a driver row
-#        (both have locally-green oracles; VERDICT r3 ask #3)
+#        (both have locally-green oracles; VERDICT r3 ask #3), plus
+#        the four queries ADDED in round 4 (first proof beats a third
+#        refresh of an r1-green row — four of the simplest stale-r1
+#        expressions moved out to make room)
 #   7  — every query whose implementation or oracle changed in round 4
 #        (winnow Generate fix, broadcast centroids, endpoint-only CC,
 #        MG single-pass total, zorder bit-exact mask, mutual_nn oracle
@@ -68,7 +71,12 @@ def query(name: str, oracle: str | None = None, prio: int = 50):
 #   9  — two r2-stale picks whose operators round 4 touched indirectly
 #        (dedup.py / search.py edits)
 #   60 — checked green in r2/r3 on substantially current code
-_R4_NEVER = frozenset({"dataset_split_stats", "embedding_quantize_int8"})
+_R4_NEVER = frozenset({
+    "dataset_split_stats", "embedding_quantize_int8",
+    # round-4 additions (never existed before this round)
+    "domain_frequency_cap", "group_leakage_split", "pmi_collocations",
+    "centroid_label_purity",
+})
 _R4_CHANGED = frozenset({
     "winnow_fingerprints", "winnow_dup_pairs", "content_defined_chunks",
     "ivf_fixed_topk", "semdedup_survivors", "dedup_clusters",
@@ -77,11 +85,15 @@ _R4_CHANGED = frozenset({
     "streaming_windowed_metrics", "streaming_exact_dedup",
 })
 _R4_STALE_R1 = frozenset({
-    "conjunctive_filters", "bool_predicate", "json_extract",
+    # bool_predicate / pagination / file_extension / score_from_distance
+    # moved out to fund the four round-4 first-proof slots: they are
+    # single-expression scan queries, the least likely r1-green rows
+    # to have regressed.
+    "conjunctive_filters", "json_extract",
     "join_fact_dim", "join_three_dims", "anti_join_add_if_absent",
-    "per_group_counts", "tpch_q1_style", "topk_per_group", "pagination",
+    "per_group_counts", "tpch_q1_style", "topk_per_group",
     "overfetch_rescore_trim", "set_except", "rrf_fusion",
-    "lexical_overlap_rerank", "file_extension", "score_from_distance",
+    "lexical_overlap_rerank",
     "salted_skew_join", "windowed_event_counts", "chunk_documents",
     "dedup_exact", "dedup_minhash_pairs", "ngram_jaccard_ref",
     "simhash_dup_pairs", "media_decode_dims", "extract_span_counts",

@@ -558,3 +558,76 @@ def dsir_selection(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return dsir_weights(d, F.col("lang") == "en").withColumnRenamed("id", "doc_id")
+
+
+_DOMCAP_H = S.md5long("doc_id::VARCHAR || '#domcap-v1'")
+_GSPLIT_B = S.md5long("source || '#gsplit-v1'") + " % 1000"
+
+
+@query(
+    "domain_frequency_cap", prio=7,
+    # RefinedWeb-style per-domain cap: keep the 10 hash-ranked docs per
+    # source. Per-domain kept counts + kept-id sums make every rank
+    # decision hash-visible (one swapped rank changes kept_id_sum).
+    oracle=f"""
+        WITH r AS (
+            SELECT doc_id, source,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY {_DOMCAP_H}, doc_id) AS dom_rank
+            FROM documents)
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN dom_rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN dom_rank <= 10 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+        FROM r GROUP BY source
+    """,
+)
+def domain_frequency_cap(spark, sf_dir):
+    """Per-domain frequency cap (RefinedWeb §3.2 style): at most N docs
+    per source, hash-rank selected. See operators/sample.py:
+    domain_cap_keep for the narrow-window scale shape."""
+    from docling_api_spark.operators.sample import domain_cap_keep
+
+    d = load(spark, sf_dir, "documents")
+    return domain_cap_keep(d, cap=10).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("doc_id")).otherwise(0)).alias("kept_id_sum"),
+    )
+
+
+@query(
+    "group_leakage_split", prio=7,
+    # Split keyed by GROUP (source), not doc: a group's docs can never
+    # straddle train/eval. n_sources + per-split id sums pin every
+    # group's assignment; n_splits_per_source = 1 is structural (split
+    # is a function of source) and the oracle re-derives it.
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source, n_chars,
+                   CASE WHEN {_GSPLIT_B} < 100 THEN 'test'
+                        WHEN {_GSPLIT_B} < 200 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM documents)
+        SELECT split,
+               COUNT(DISTINCT source) AS n_sources,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM t GROUP BY split
+    """,
+)
+def group_leakage_split(spark, sf_dir):
+    """Leakage-safe group-keyed split: near-dups share a domain, a
+    domain shares a split, so contamination across the train/eval
+    boundary is structurally impossible. Zero-shuffle scan predicate —
+    see operators/sample.py:group_split."""
+    from docling_api_spark.operators.sample import group_split
+
+    d = load(spark, sf_dir, "documents")
+    return group_split(d).groupBy("split").agg(
+        F.count_distinct("source").alias("n_sources"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+    )

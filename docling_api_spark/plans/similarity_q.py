@@ -349,3 +349,66 @@ def mutual_nn_pairs(spark, sf_dir):
             F.col("x.sim").alias("sim"),
         )
     )
+
+
+@query(
+    "centroid_label_purity", prio=7,
+    # Clustering-quality audit: assign every vector to its argmax-
+    # cosine cell of the deterministic md5 coarse quantizer, then per
+    # cell report the majority label and its purity (ppm, integer-
+    # exact). The standard pre-flight for using cluster structure in
+    # curation (SemDeDup cells, stratified eval): low purity = the
+    # quantizer's cells don't align with semantics.
+    oracle=f"""
+        WITH {S.ivf_centroids_cte(DIM, 16)},
+        assigned AS (
+            SELECT vec_id, label, c,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY {S.cosine("e.embedding", "cents.cv", DIM)} DESC, c) AS rn
+            FROM embeddings e CROSS JOIN cents),
+        v AS (SELECT vec_id, label, c AS cell FROM assigned WHERE rn = 1),
+        cl AS (SELECT cell, label, COUNT(*) AS n FROM v GROUP BY cell, label),
+        top AS (SELECT cell, label, n,
+                       ROW_NUMBER() OVER (PARTITION BY cell
+                                          ORDER BY n DESC, label) AS rn
+                FROM cl),
+        tot AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS n_vecs FROM cl GROUP BY cell)
+        SELECT t.cell, tot.n_vecs, t.label AS top_label,
+               t.n AS top_label_n,
+               CAST((t.n * 1000000) // tot.n_vecs AS BIGINT) AS purity_ppm
+        FROM top t JOIN tot USING (cell) WHERE t.rn = 1
+    """,
+)
+def centroid_label_purity(spark, sf_dir):
+    """Per-cell majority-label purity over the md5 coarse quantizer.
+
+    Scale shape: one corpus pass against the 16-row broadcast centroid
+    table (constant-size plan — see operators/search.py:
+    centroid_scores), the per-vector argmax window partitions by
+    vec_id (no hot key possible), and everything after the assignment
+    runs on cell×label-sized aggregates."""
+    from pyspark.sql.window import Window
+
+    from docling_api_spark.functions.hashing import ivf_centroids
+    from docling_api_spark.operators.search import centroid_scores
+
+    e = load(spark, sf_dir, "embeddings")
+    scored = centroid_scores(e, ivf_centroids(DIM, 16), "embedding", 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell"))
+    v = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "cell")
+    )
+    cl = v.groupBy("cell", "label").agg(F.count("*").alias("n"))
+    cl = cl.persist()  # feeds both the per-cell argmax and the totals
+    wt = Window.partitionBy("cell").orderBy(F.col("n").desc(), F.col("label"))
+    top = cl.withColumn("rn", F.row_number().over(wt)).filter(F.col("rn") == 1)
+    tot = cl.groupBy("cell").agg(F.sum("n").alias("n_vecs"))
+    return top.join(tot, "cell").select(
+        "cell",
+        "n_vecs",
+        F.col("label").alias("top_label"),
+        F.col("n").alias("top_label_n"),
+        F.expr("n * 1000000L div n_vecs").alias("purity_ppm"),
+    )

@@ -710,3 +710,66 @@ def content_defined_chunks(spark, sf_dir):
             ).alias("chunk_hash"),
         )
     )
+
+
+@query(
+    "pmi_collocations", prio=7,
+    # Top bigram collocations by a PMI-monotone integer score:
+    # rank(PMI) = rank(c_xy / (c_x * c_y)) for fixed corpus totals, so
+    # score = (c_xy * 1e9) div (c_x * c_y) ranks identically to PMI
+    # while staying pure BIGINT arithmetic — no float log to diverge
+    # across engines. Counts ride along so every rank is auditable.
+    oracle=f"""
+        WITH t AS (SELECT {_TOKS} AS tok FROM documents),
+        bg AS (SELECT tok[i] AS w1, tok[i+1] AS w2
+               FROM t, UNNEST(range(1, len(tok))) AS r(i)),
+        cxy AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY w1, w2),
+        u AS (SELECT x.ux AS w, COUNT(*) AS c
+              FROM t, UNNEST(tok) AS x(ux) GROUP BY x.ux)
+        SELECT cxy.w1, cxy.w2, c_xy,
+               ux.c AS c_x, uy.c AS c_y,
+               (c_xy * 1000000000) // (ux.c * uy.c) AS pmi_scaled
+        FROM cxy JOIN u ux ON ux.w = cxy.w1
+                 JOIN u uy ON uy.w = cxy.w2
+        WHERE c_xy >= 5
+        ORDER BY pmi_scaled DESC, cxy.w1, cxy.w2
+        LIMIT 20
+    """,
+)
+def pmi_collocations(spark, sf_dir):
+    """Bigram collocation mining (pointwise mutual information).
+
+    Scale shape: one pass explodes adjacent-token pairs (zip_with of
+    two slices — no index re-evaluation), bigram and unigram counts
+    are two narrow hash aggregates, the scoring join touches only the
+    vocab-sized count tables (broadcast — a natural-language unigram
+    vocab is ~10^7 even at 100 TB), and the final top-20 is a
+    TakeOrdered, never a global sort."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(tokens(F.col("text")).alias("tok"))
+    tok = tok.persist()  # feeds both the bigram and unigram aggregates
+    bg = tok.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("tok"), 1, F.greatest(F.size("tok") - 1, F.lit(0))),
+                F.slice(F.col("tok"), 2, F.greatest(F.size("tok") - 1, F.lit(0))),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    cxy = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_xy"))
+    uni = tok.select(F.explode("tok").alias("w")).groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    scored = (
+        cxy.filter(F.col("c_xy") >= 5)
+        .join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))), "w1")
+        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))), "w2")
+        .select(
+            "w1", "w2", "c_xy", "c_x", "c_y",
+            F.expr("c_xy * 1000000000L div (c_x * c_y)").alias("pmi_scaled"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_scaled").desc(), "w1", "w2"
+    ).limit(20)
