@@ -412,3 +412,55 @@ def centroid_label_purity(spark, sf_dir):
         F.col("n").alias("top_label_n"),
         F.expr("n * 1000000L div n_vecs").alias("purity_ppm"),
     )
+
+
+@query(
+    "embedding_dim_health", prio=7,
+    # Per-dimension corpus audit (dead/collapsed-dimension detection —
+    # the standard pre-flight before trusting cosine structure for
+    # SemDeDup/ANN). Components quantize to round(v*1e6) BIGINT first,
+    # so every aggregate is an integer sum: order-free, bit-identical
+    # across engines, no float accumulation to diverge.
+    oracle="""
+        WITH c AS (
+            SELECT i AS dim,
+                   CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
+            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i))
+        SELECT dim,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+               CAST(SUM(q) AS BIGINT) AS sum_q,
+               CAST(SUM(ABS(q)) AS BIGINT) AS sum_abs_q,
+               MIN(q) AS min_q,
+               MAX(q) AS max_q,
+               -- // truncates toward zero in DuckDB (-7//2 = -3), same
+               -- as Spark's div — 35 dims here have negative sums, so
+               -- this equivalence is load-bearing, not cosmetic
+               CAST(SUM(q) // COUNT(*) AS BIGINT) AS mean_q
+        FROM c GROUP BY dim
+    """,
+)
+def embedding_dim_health(spark, sf_dir):
+    """Per-dimension embedding-health stats (zero fraction, integer-
+    quantized mean/extremes) over the whole vector corpus.
+
+    Scale shape: one posexplode (64 narrow (dim, q) rows per vector,
+    the text/vector payload is dropped before the shuffle) into a
+    64-group hash aggregate with map-side combine — effectively a
+    map-only pass at any corpus size."""
+    e = load(spark, sf_dir, "embeddings")
+    c = e.select(
+        F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.round(F.col("v").cast("double") * 1000000, 0).cast("long").alias("q"),
+    )
+    return c.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("q") == 0, 1).otherwise(0)).alias("n_zero"),
+        F.sum("q").alias("sum_q"),
+        F.sum(F.abs("q")).alias("sum_abs_q"),
+        F.min("q").alias("min_q"),
+        F.max("q").alias("max_q"),
+        F.expr("sum(q) div count(*)").alias("mean_q"),
+    )

@@ -773,3 +773,67 @@ def pmi_collocations(spark, sf_dir):
     return scored.orderBy(
         F.col("pmi_scaled").desc(), "w1", "w2"
     ).limit(20)
+
+
+@query(
+    "tfidf_top_terms", prio=7,
+    # Per-doc top-3 keywords by an exactly-integer tf-idf: idf_scaled =
+    # (N * 1e6) div df ranks identically to log(N/df) (div is monotone
+    # decreasing in df for fixed N), score = tf * idf_scaled. Ties by
+    # term asc so the per-doc top-3 is fully deterministic.
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents),
+        tf AS (SELECT doc_id, x.w, COUNT(*) AS tf
+               FROM t, UNNEST(tok) AS x(w) GROUP BY doc_id, x.w),
+        df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.w, tf.tf, df.df,
+                   tf.tf * ((n.n_docs * 1000000) // df.df) AS score,
+                   ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                      ORDER BY tf.tf * ((n.n_docs * 1000000) // df.df) DESC,
+                                               tf.w) AS rn
+            FROM tf JOIN df USING (w) CROSS JOIN n)
+        SELECT doc_id, w AS term, CAST(tf AS BIGINT) AS tf,
+               CAST(df AS BIGINT) AS df, CAST(score AS BIGINT) AS tfidf_scaled,
+               rn AS rank
+        FROM scored WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Per-document keyword extraction (top-3 terms by tf-idf).
+
+    Scale shape: term frequencies are one explode + hash agg on
+    (doc_id, term); document frequencies aggregate the tf table (never
+    re-scan the corpus); the idf join broadcasts the vocab-sized df
+    table; the per-doc top-3 window partitions by doc_id, so no hot
+    key exists and text never shuffles."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    tf = tf.persist()  # feeds both the df aggregate and the scoring join
+    df_tab = tf.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tab), "w")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.expr("tf * ((n_docs * 1000000L) div df)"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "tf",
+            "df",
+            F.col("score").alias("tfidf_scaled"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

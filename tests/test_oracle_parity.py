@@ -128,11 +128,13 @@ def test_registry_priority_ordering():
 
     names = list(_QUERIES)
     assert names[0] == "token_count_bpe"  # prio 5: absorbs session warmup
-    n_never = len(_R4_NEVER)
-    assert set(names[1 : 1 + n_never]) == _R4_NEVER
-    assert set(names[1 + n_never : 1 + n_never + len(_R4_CHANGED)]) == _R4_CHANGED
-    assert set(names[20:48]) == _R4_STALE_R1
-    assert set(names[48:50]) == _R4_STALE_R2_PICKS
+    a = 1 + len(_R4_NEVER)
+    b = a + len(_R4_CHANGED)
+    c = b + len(_R4_STALE_R1)
+    assert set(names[1:a]) == _R4_NEVER
+    assert set(names[a:b]) == _R4_CHANGED
+    assert set(names[b:c]) == _R4_STALE_R1
+    assert set(names[c : c + 2]) == _R4_STALE_R2_PICKS
     assert (
         1 + len(_R4_NEVER) + len(_R4_CHANGED)
         + len(_R4_STALE_R1) + len(_R4_STALE_R2_PICKS)
