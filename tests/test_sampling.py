@@ -228,3 +228,58 @@ def test_semdedup_drops_planted_duplicates_only(spark):
     # an exact copy must land in its original's cell
     for i in dropped:
         assert rows[i]["cell"] == rows[i - 100000]["cell"]
+
+
+def test_domain_cap_keep_invariants(spark):
+    """Per-domain kept count = min(cap, domain size); the kept set is a
+    pure function of ids (stable under repartitioning); ranks within a
+    domain are a permutation of 1..n."""
+    from docling_api_spark.operators.sample import domain_cap_keep
+
+    d = load(spark, SF_DIR, "documents")
+    out = domain_cap_keep(d, cap=10)
+    per = (
+        out.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.count_distinct("dom_rank").alias("n_ranks"),
+            F.max("dom_rank").alias("max_rank"),
+        )
+        .collect()
+    )
+    for r in per:
+        assert r["n_kept"] == min(10, r["n"])
+        assert r["n_ranks"] == r["n"] and r["max_rank"] == r["n"]  # permutation
+    a = {r["doc_id"] for r in out.filter("kept").select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in domain_cap_keep(d.repartition(7), cap=10)
+        .filter("kept")
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b
+
+
+def test_group_split_no_leakage(spark):
+    """Every source lands in exactly one split — the property that
+    makes the split leakage-safe — and the assignment is stable under
+    repartitioning."""
+    from docling_api_spark.operators.sample import group_split
+
+    d = load(spark, SF_DIR, "documents")
+    out = group_split(d)
+    straddlers = (
+        out.groupBy("source")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert straddlers == 0
+    a = {r["source"]: r["split"] for r in out.select("source", "split").distinct().collect()}
+    b = {
+        r["source"]: r["split"]
+        for r in group_split(d.repartition(5)).select("source", "split").distinct().collect()
+    }
+    assert a == b
