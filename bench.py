@@ -440,30 +440,61 @@ def _scaling_child(sf_dir: str, cpus: str, repl: int) -> dict:
         extra_conf=extra,
     )
     _warm(spark)
-    docs = load(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text", "n_chars"
-    )
     # spread the source BEFORE the ×repl explode — the parquet file is
     # one input split, and a serial generator stage would cap both
     # parallelism levels at the same rate (measured: 0.98× "speedup")
     n_tasks = int(cpus) * 2
 
-    def job(replication: int):
-        big = (
-            docs.repartition(n_tasks)
-            .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(replication - 1))))
-            .select(F.concat_ws("_", "doc_id", "r").alias("doc_id"), "text")
+    if fmt == "mixed":
+        # TRUE interleaved corpus: the gen_doc 40/30/10/10/10 format
+        # mix including the 1-in-500 oversized-PDF skew tail, generated
+        # distributed (mapInPandas over the index range). repl=400 on
+        # the 5,000-doc sf0.1 table matches the html/pdf paths' 2M docs.
+        from docling_api_spark.corpus import corpus_df
+
+        base = load(spark, sf_dir, "documents").count()
+
+        def job(replication: int):
+            corpus = corpus_df(spark, base * replication, partitions=n_tasks)
+            return extract(corpus).select(
+                "doc_id", render_text(F.col("spans")).alias("content")
+            )
+
+        job(max(repl // 100, 1)).write.format("noop").mode("overwrite").save()
+        n_docs = base * repl
+        # payload size = raw span text bytes (one extra counting pass,
+        # outside the timed window)
+        n_bytes = (
+            corpus_df(spark, n_docs, partitions=n_tasks)
+            .select(
+                F.aggregate(
+                    "spans", F.lit(0).cast("long"), lambda a, s: a + F.length(s["text"])
+                ).alias("b")
+            )
+            .agg(F.sum("b"))
+            .first()[0]
         )
-        corpus = wrap(big)
-        return extract(corpus).select(
-            "doc_id", render_text(F.col("spans")).alias("content")
+    else:
+        docs = load(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text", "n_chars"
         )
 
-    # pipeline-exact warm-up at 1% scale (JIT + worker pool)
-    job(max(repl // 100, 1)).write.format("noop").mode("overwrite").save()
+        def job(replication: int):
+            big = (
+                docs.repartition(n_tasks)
+                .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(replication - 1))))
+                .select(F.concat_ws("_", "doc_id", "r").alias("doc_id"), "text")
+            )
+            corpus = wrap(big)
+            return extract(corpus).select(
+                "doc_id", render_text(F.col("spans")).alias("content")
+            )
 
-    n_docs, n_bytes = docs.selectExpr("count(*)", "sum(n_chars)").first()
-    n_docs, n_bytes = n_docs * repl, (n_bytes or 0) * repl
+        # pipeline-exact warm-up at 1% scale (JIT + worker pool)
+        job(max(repl // 100, 1)).write.format("noop").mode("overwrite").save()
+
+        n_docs, n_bytes = docs.selectExpr("count(*)", "sum(n_chars)").first()
+        n_docs, n_bytes = n_docs * repl, (n_bytes or 0) * repl
     out = job(repl)
     t0 = time.perf_counter()
     out.write.format("noop").mode("overwrite").save()
