@@ -89,6 +89,12 @@ def minhash_candidate_pairs(
     banded = sig.select("id", F.explode(band_structs).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
+    # persist: the bucket self-join reads this tree from BOTH sides —
+    # without the cache each side recomputes the whole signature chain
+    # (md5 per shingle + num_hashes affine mins), the dominant cost of
+    # the candidate stage (measured 2x at sf0.1). The cached rows are
+    # narrow (id, band, bkey) — bands rows per doc, no payload.
+    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
