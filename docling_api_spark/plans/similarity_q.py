@@ -334,7 +334,12 @@ def mutual_nn_pairs(spark, sf_dir):
         cosine(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
     )
     w = W.partitionBy("id").orderBy(F.desc("sim"), "nb")
-    top1 = sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # persist: the reciprocity self-join reads top1 from BOTH sides,
+    # and each side would otherwise recompute all n^2 cosines + the
+    # per-id argmax window. Cached rows: one (id, nb, sim) per vector.
+    top1 = (
+        sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).persist()
+    )
     x, y = top1.alias("x"), top1.alias("y")
     return (
         x.join(

@@ -623,6 +623,11 @@ def winnow_dup_pairs(spark, sf_dir):
             )
         ).alias("fp"),
     )
+    # persist: the fingerprint self-join reads this tree from BOTH
+    # sides — without the cache each side re-runs the whole winnow
+    # chain (tokenize → md5 window hashes → sliding min). Cached rows
+    # are narrow (doc_id, fp), ~2/(w+1) of the token count per doc.
+    fps = fps.persist()
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(
