@@ -183,3 +183,23 @@ def test_cdc_generate_reads_attribute_not_inlined_hashes(spark):
     assert "element_at(transform(array(filter(split" not in plan.replace(
         "element_at(transform(array(tk#", "BOUND(#"
     ), plan
+
+
+def test_self_joins_read_cached_inputs(spark):
+    """A self-join evaluates its input tree once PER SIDE unless the
+    input is cached — for these queries the input is the expensive
+    part (MinHash signature chain, winnow chain, pairwise cosines,
+    SimHash token hashing, quantizer assignment), so losing the
+    persist silently doubles the query's dominant cost. Both join
+    sides must read an InMemoryTableScan."""
+    # mutual_nn_pairs also persists its self-join input, but at this
+    # gate SF its plan constant-folds to an empty LocalTableScan, so
+    # there is nothing to pin here (covered by its parity test).
+    for name in (
+        "dedup_minhash_pairs",
+        "winnow_dup_pairs",
+        "simhash_dup_pairs",
+        "semdedup_survivors",
+    ):
+        plan = _plan(spark, name)
+        assert plan.count("InMemoryTableScan") >= 2, f"{name}: self-join side(s) uncached\n{plan}"
