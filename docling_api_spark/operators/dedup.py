@@ -62,15 +62,13 @@ def shingle_table(
     )
 
 
-def minhash_candidate_pairs(
+def banded_keys(
     shingled: DataFrame, num_hashes: int = 32, bands: int = 16
 ) -> DataFrame:
-    """LSH candidate pairs (a < b) from banded MinHash signatures.
-
-    One narrow explode (bands rows per doc, each just band_key+id),
-    one per-bucket self-join. Skew guard: buckets are md5-keyed, so
-    only true near-dup clusters concentrate — exactly the rows we want.
-    """
+    """(id, band, bkey) LSH band keys from MinHash signatures — the
+    shared probe structure of the intra-corpus self-join
+    (:func:`minhash_candidate_pairs`) and the batch-vs-corpus
+    incremental join (:func:`incremental_near_dup`)."""
     rows_per_band = num_hashes // bands
     # two-step projection: md5 once per shingle, then the cheap affine
     # family — the hash array materializes between the two selects
@@ -86,9 +84,21 @@ def minhash_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select("id", F.explode(band_structs).alias("bk")).select(
+    return sig.select("id", F.explode(band_structs).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
+
+
+def minhash_candidate_pairs(
+    shingled: DataFrame, num_hashes: int = 32, bands: int = 16
+) -> DataFrame:
+    """LSH candidate pairs (a < b) from banded MinHash signatures.
+
+    One narrow explode (bands rows per doc, each just band_key+id),
+    one per-bucket self-join. Skew guard: buckets are md5-keyed, so
+    only true near-dup clusters concentrate — exactly the rows we want.
+    """
+    banded = banded_keys(shingled, num_hashes, bands)
     # persist: the bucket self-join reads this tree from BOTH sides —
     # without the cache each side recomputes the whole signature chain
     # (md5 per shingle + num_hashes affine mins), the dominant cost of
@@ -110,13 +120,21 @@ def minhash_candidate_pairs(
 
 
 def verify_jaccard(
-    pairs: DataFrame, shingled: DataFrame, threshold: float, scale: int = 4
+    pairs: DataFrame,
+    shingled: DataFrame,
+    threshold: float,
+    scale: int = 4,
+    shingled_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs: re-join the shingle sets
     (only for candidates — payloads never ride through the band
-    shuffle), filter ≥ threshold. Returns (a, b, jac)."""
+    shuffle), filter ≥ threshold. Returns (a, b, jac). Pass
+    ``shingled_b`` when the ``b`` side comes from a different table
+    (batch-vs-corpus incremental dedup)."""
     sa = shingled.select(F.col("id").alias("a"), F.col("shingles").alias("sh_a"))
-    sb = shingled.select(F.col("id").alias("b"), F.col("shingles").alias("sh_b"))
+    sb = (shingled_b if shingled_b is not None else shingled).select(
+        F.col("id").alias("b"), F.col("shingles").alias("sh_b")
+    )
     joined = pairs.join(sa, "a").join(sb, "b")
     # guard: two empty-shingle docs (empty/NULL text) share every LSH
     # band, land here as a candidate pair, and 0/0 is a hard
@@ -135,6 +153,48 @@ def verify_jaccard(
         .filter(F.col("jac_raw") >= threshold)
         .select("a", "b", F.round("jac_raw", scale).alias("jac"))
     )
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Batch-vs-corpus near-dup (the daily-ingest shape): for each NEW
+    doc, verified Jaccard ≥ threshold matches against the EXISTING
+    corpus only — intra-batch pairs are the cascade's job. Returns
+    (a=new id, b=corpus id, jac); ids must be disjoint across inputs.
+
+    Scale shape: both sides collapse to narrow (id, band, bkey) keys
+    before the join, so the probe shuffles ``bands`` small rows per
+    doc and never a payload; candidate verification re-reads shingles
+    for candidate ids only. At 100 TB the corpus-side band keys are a
+    precomputed index maintained across ingest cycles (one pass per
+    cycle to extend it with the accepted batch) — this operator
+    derives them inline because the sandbox has no persistent index
+    store; the join/verify shape is identical either way. The small
+    batch side persists (read by both the band probe and the verify);
+    the corpus side is deliberately NOT cached — caching 100 TB of
+    shingles is worse than the extra scan."""
+    sh_new = shingle_table(new_docs, text_col, id_col, shingle_n).persist()
+    sh_old = shingle_table(corpus_docs, text_col, id_col, shingle_n)
+    b_new = banded_keys(sh_new, num_hashes, bands)
+    b_old = banded_keys(sh_old, num_hashes, bands)
+    cands = (
+        b_new.alias("n")
+        .join(
+            b_old.alias("o"),
+            (F.col("n.band") == F.col("o.band")) & (F.col("n.bkey") == F.col("o.bkey")),
+        )
+        .select(F.col("n.id").alias("a"), F.col("o.id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    return verify_jaccard(cands, sh_new, threshold, shingled_b=sh_old)
 
 
 def dedup_minhash(

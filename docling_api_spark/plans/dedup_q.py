@@ -734,3 +734,37 @@ def corpus_snapshot_diff(spark, sf_dir):
         .otherwise(F.lit("changed"))
         .alias("change"),
     )
+
+
+@query(
+    "incremental_near_dup", prio=7,
+    # Batch-vs-corpus near-dup (the daily-ingest shape): the planted
+    # docs (id >= 1e6 — exact copies and near-dup tails) arrive as the
+    # NEW batch and probe the base corpus (id < 1e6). Oracle =
+    # brute-force cross-side Jaccard ground truth, not an LSH
+    # transliteration, so a band-recall bug fails the row. With 32
+    # hashes / 16 bands, P(miss | jac >= 0.8) < 1e-7 per pair.
+    oracle=f"""
+        WITH {S.DUP_CORPUS_CTE.strip()},
+        sh AS (SELECT doc_id, {S.shingles3(_TOKS)} AS sh FROM dup_corpus),
+        p AS (
+            SELECT n.doc_id AS a, o.doc_id AS b,
+                   CASE WHEN len(list_distinct(n.sh || o.sh)) > 0 THEN
+                        len(list_intersect(n.sh, o.sh)) /
+                        CAST(len(list_distinct(n.sh || o.sh)) AS DOUBLE)
+                   END AS jr
+            FROM sh n JOIN sh o
+              ON n.doc_id >= 1000000 AND o.doc_id < 1000000)
+        SELECT a, b, ROUND(jr, 4) AS jac FROM p WHERE jr >= 0.8
+    """,
+)
+def incremental_near_dup(spark, sf_dir):
+    """New-batch-vs-existing-corpus verified near-dup matches. See
+    operators/dedup.py:incremental_near_dup for the narrow band-probe
+    scale shape (corpus side never cached, batch side persisted)."""
+    from docling_api_spark.operators.dedup import incremental_near_dup as _inc
+
+    corpus = dup_corpus(spark, sf_dir)
+    new_docs = corpus.filter(F.col("doc_id") >= 1000000)
+    old_docs = corpus.filter(F.col("doc_id") < 1000000)
+    return _inc(new_docs, old_docs, threshold=0.8)
