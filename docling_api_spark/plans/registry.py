@@ -53,7 +53,7 @@ def query(name: str, oracle: str | None = None, prio: int = 50):
 
 # --- Round-4 driver-prefix plan -------------------------------------------
 # The driver checks the first 50 registry entries each round. Slot
-# budget (1 + 2 + 7 + 13 + 25 + 2 = 50):
+# budget (1 + 2 + 8 + 13 + 24 + 2 = 50):
 #   5  — cheapest query first (absorbs session warmup)
 #   6  — the two registry entries that have NEVER had a driver row
 #        (both have locally-green oracles; VERDICT r3 ask #3), plus
@@ -76,7 +76,7 @@ _R4_NEVER = frozenset({
     # round-4 additions (never existed before this round)
     "domain_frequency_cap", "group_leakage_split", "pmi_collocations",
     "centroid_label_purity", "tfidf_top_terms", "embedding_dim_health",
-    "incremental_near_dup",
+    "incremental_near_dup", "ngram_diversity_stats",
 })
 _R4_CHANGED = frozenset({
     "winnow_fingerprints", "winnow_dup_pairs", "content_defined_chunks",
@@ -87,14 +87,13 @@ _R4_CHANGED = frozenset({
 })
 _R4_STALE_R1 = frozenset({
     # bool_predicate / pagination / file_extension / score_from_distance
-    # / conjunctive_filters / json_extract / set_except moved out to
-    # fund the seven round-4 first-proof slots: they are
-    # single-expression scan/set queries, the least likely r1-green
-    # rows to have regressed.
+    # / conjunctive_filters / json_extract / set_except /
+    # lexical_overlap_rerank moved out to fund the eight round-4
+    # first-proof slots: they are single-expression scan/set queries,
+    # the least likely r1-green rows to have regressed.
     "join_fact_dim", "join_three_dims", "anti_join_add_if_absent",
     "per_group_counts", "tpch_q1_style", "topk_per_group",
     "overfetch_rescore_trim", "rrf_fusion",
-    "lexical_overlap_rerank",
     "salted_skew_join", "windowed_event_counts", "chunk_documents",
     "dedup_exact", "dedup_minhash_pairs", "ngram_jaccard_ref",
     "simhash_dup_pairs", "media_decode_dims", "extract_span_counts",

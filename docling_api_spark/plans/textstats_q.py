@@ -842,3 +842,60 @@ def tfidf_top_terms(spark, sf_dir):
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+@query(
+    "ngram_diversity_stats", prio=7,
+    # Corpus-diversity audit (the Self-BLEU-family signal memorization
+    # studies use): per-doc type-token ratio and distinct-trigram
+    # ratio, both as integer ppm — a doc full of repeated phrases
+    # scores low on both. NULL trigram ratio for docs under 3 tokens
+    # (undefined, mirrored on both engines).
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS tok FROM documents)
+        SELECT doc_id,
+               len(tok) AS n_tokens,
+               len(list_distinct(tok)) AS n_types,
+               CAST(len(list_distinct(tok)) * 1000000 // len(tok) AS BIGINT) AS ttr_ppm,
+               GREATEST(len(tok) - 2, 0) AS n_trigrams,
+               len({S.shingles3("tok")}) AS n_distinct_trigrams,
+               CASE WHEN len(tok) >= 3 THEN
+                   CAST(len({S.shingles3("tok")}) * 1000000
+                        // (len(tok) - 2) AS BIGINT)
+               END AS trigram_diversity_ppm
+        FROM t
+    """,
+)
+def ngram_diversity_stats(spark, sf_dir):
+    """Per-doc lexical-diversity stats: type-token ratio and distinct
+    3-gram ratio (integer ppm, order-free).
+
+    Scale shape: map-only — every stat is a pure projection over the
+    scan (the shingle set is let-bound so it computes once per row),
+    zero shuffles at any corpus size."""
+    from docling_api_spark.functions.hashing import word_shingles
+
+    d = load(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    t = d.select("doc_id", tok.alias("tok"))
+    ntok = F.size("tok")
+    ntypes = F.size(F.array_distinct("tok"))
+    ntri = F.greatest(ntok - 2, F.lit(0))
+    ndtri = F.size(word_shingles(F.col("tok"), 3))
+    return t.select(
+        "doc_id",
+        ntok.alias("n_tokens"),
+        ntypes.alias("n_types"),
+        (ntypes.cast("long") * 1000000).alias("_tt"),
+        ntri.alias("n_trigrams"),
+        ndtri.alias("n_distinct_trigrams"),
+        (ndtri.cast("long") * 1000000).alias("_td"),
+    ).selectExpr(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "_tt div n_tokens AS ttr_ppm",
+        "n_trigrams",
+        "n_distinct_trigrams",
+        "CASE WHEN n_tokens >= 3 THEN _td div n_trigrams END AS trigram_diversity_ppm",
+    )
