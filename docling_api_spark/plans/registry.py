@@ -53,7 +53,7 @@ def query(name: str, oracle: str | None = None, prio: int = 50):
 
 # --- Round-4 driver-prefix plan -------------------------------------------
 # The driver checks the first 50 registry entries each round. Slot
-# budget (1 + 2 + 8 + 13 + 24 + 2 = 50):
+# budget (1 + 2 + 9 + 13 + 23 + 2 = 50):
 #   5  — cheapest query first (absorbs session warmup)
 #   6  — the two registry entries that have NEVER had a driver row
 #        (both have locally-green oracles; VERDICT r3 ask #3), plus
@@ -77,6 +77,7 @@ _R4_NEVER = frozenset({
     "domain_frequency_cap", "group_leakage_split", "pmi_collocations",
     "centroid_label_purity", "tfidf_top_terms", "embedding_dim_health",
     "incremental_near_dup", "ngram_diversity_stats",
+    "streaming_incremental_dedup",
 })
 _R4_CHANGED = frozenset({
     "winnow_fingerprints", "winnow_dup_pairs", "content_defined_chunks",
@@ -88,14 +89,16 @@ _R4_CHANGED = frozenset({
 _R4_STALE_R1 = frozenset({
     # bool_predicate / pagination / file_extension / score_from_distance
     # / conjunctive_filters / json_extract / set_except /
-    # lexical_overlap_rerank moved out to fund the eight round-4
-    # first-proof slots: they are single-expression scan/set queries,
-    # the least likely r1-green rows to have regressed.
+    # lexical_overlap_rerank / dedup_exact moved out to fund the nine
+    # round-4 first-proof slots: single-expression scan/set queries
+    # (and dedup_exact, whose hash-groupBy is re-proven inside the
+    # cascade gate every round) — the least likely r1-green rows to
+    # have regressed.
     "join_fact_dim", "join_three_dims", "anti_join_add_if_absent",
     "per_group_counts", "tpch_q1_style", "topk_per_group",
     "overfetch_rescore_trim", "rrf_fusion",
     "salted_skew_join", "windowed_event_counts", "chunk_documents",
-    "dedup_exact", "dedup_minhash_pairs", "ngram_jaccard_ref",
+    "dedup_minhash_pairs", "ngram_jaccard_ref",
     "simhash_dup_pairs", "media_decode_dims", "extract_span_counts",
     "extract_rich_spans", "semi_join_exists", "topk_global",
     "sketch_distinct_users", "sketch_value_quantiles",

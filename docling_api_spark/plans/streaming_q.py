@@ -133,3 +133,48 @@ def streaming_exact_dedup(spark, sf_dir):
     if not q.awaitTermination(300):
         raise RuntimeError("streaming drain timed out")
     return spark.table(name)
+
+
+@query(
+    "streaming_incremental_dedup", prio=20,
+    # foreachBatch ingest dedup: every micro-batch of new (planted)
+    # docs probes the STATIC corpus's banded MinHash keys; per-new-doc
+    # matches are independent of batching, so the drained parquet sink
+    # must equal the batch incremental_near_dup — the same brute-force
+    # cross-side Jaccard ground truth oracles both.
+    oracle="""
+        WITH dup_corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 2000000 AS doc_id, text || ' near dup tail' AS text
+            FROM documents WHERE doc_id % 10 = 5
+        ),
+        sh AS (SELECT doc_id,
+                      list_distinct([t.tok[i]||' '||t.tok[i+1]||' '||t.tok[i+2]
+                                     for i in range(1, len(t.tok)-1)]) AS sh
+               FROM (SELECT doc_id,
+                            list_filter(string_split_regex(text,'\\s+'), x -> x <> '') AS tok
+                     FROM dup_corpus) t),
+        p AS (
+            SELECT n.doc_id AS a, o.doc_id AS b,
+                   CASE WHEN len(list_distinct(n.sh || o.sh)) > 0 THEN
+                        len(list_intersect(n.sh, o.sh)) /
+                        CAST(len(list_distinct(n.sh || o.sh)) AS DOUBLE)
+                   END AS jr
+            FROM sh n JOIN sh o
+              ON n.doc_id >= 1000000 AND o.doc_id < 1000000)
+        SELECT a, b, ROUND(jr, 4) AS jac FROM p WHERE jr >= 0.8
+    """,
+)
+def streaming_incremental_dedup(spark, sf_dir):
+    from docling_api_spark.streaming.pipeline import stream_incremental_near_dup
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_incdup_")
+    out = tempfile.mkdtemp(prefix="out_incdup_") + "/matches"
+    q = stream_incremental_near_dup(spark, _as_stream_dir(sf_dir, "documents"), ckpt, out)
+    # fail LOUDLY on timeout instead of reading a mid-stream sink
+    if not q.awaitTermination(300):
+        raise RuntimeError("streaming drain timed out")
+    return spark.read.parquet(out)

@@ -294,3 +294,51 @@ def stream_exact_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_incremental_near_dup(
+    spark: SparkSession,
+    docs_path: str,
+    checkpoint_path: str,
+    out_path: str,
+    threshold: float = 0.8,
+) -> StreamingQuery:
+    """Streaming ingest dedup: each micro-batch of NEW docs probes the
+    STATIC existing corpus's banded MinHash keys via
+    ``operators.dedup.incremental_near_dup`` (foreachBatch — the
+    batch-vs-corpus join is not a stream-stream join, so the static
+    side needs no watermark bookkeeping).
+
+    Result is batch-partition-invariant by construction: a new doc's
+    verified matches depend only on that doc and the static corpus,
+    so however availableNow slices the backlog into micro-batches, the
+    union of per-batch outputs equals the single-batch computation —
+    exactly the equality the oracle checks. Exactly-once lands on the
+    parquet sink through the foreachBatch checkpoint.
+    """
+    from docling_api_spark.operators.dedup import incremental_near_dup
+
+    schema = spark.read.parquet(docs_path).schema
+    d = spark.readStream.schema(schema).parquet(docs_path).select("doc_id", "text")
+    # the arriving batch: dup_corpus's planted docs (exact copies and
+    # near-dup tails), derived from the stream
+    exact = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
+    )
+    new_docs = exact.unionByName(near)
+    static_corpus = spark.read.parquet(docs_path).select("doc_id", "text")
+
+    def probe(batch_df, batch_id):
+        out = incremental_near_dup(batch_df, static_corpus, threshold=threshold)
+        out.write.mode("append").parquet(out_path)
+
+    return (
+        new_docs.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
