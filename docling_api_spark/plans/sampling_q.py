@@ -631,3 +631,116 @@ def group_leakage_split(spark, sf_dir):
         F.sum("n_chars").alias("sum_chars"),
         F.sum("doc_id").alias("sum_ids"),
     )
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    # CCNet's actual selection mechanism (the step after the LM score
+    # bigram_lm_surprisal computes): docs are bucketed into per-LANGUAGE
+    # perplexity terciles — head/middle/tail — and downstream pipelines
+    # keep head(+middle). Tercile assignment is RANK-based integer
+    # arithmetic (r*3 vs n, n+r ties broken by doc_id), not interpolated
+    # quantiles, so the bucket edge is bit-reproducible across engines —
+    # no float cutoff to disagree about.
+    oracle=f"""
+        WITH base AS (SELECT doc_id, lang, {S.toks("text")} AS t FROM documents),
+        uc AS (SELECT tok, COUNT(*) AS cnt
+               FROM (SELECT unnest(t) AS tok FROM base) GROUP BY tok),
+        v AS (SELECT COUNT(*) AS vocab FROM uc),
+        bg AS (SELECT doc_id, t[i-1] AS w1, t[i] AS w2
+               FROM base, unnest(range(2, CAST(len(t) + 1 AS BIGINT))) AS u(i)),
+        bc AS (SELECT w1, w2, COUNT(*) AS bcnt FROM bg GROUP BY w1, w2),
+        sc AS (SELECT bg.doc_id,
+                      length(bin((uc.cnt + v.vocab) // (bc.bcnt + 1))) - 1 AS s
+               FROM bg JOIN bc USING (w1, w2)
+                       JOIN uc ON uc.tok = bg.w1
+                       CROSS JOIN v),
+        pd AS (SELECT doc_id,
+                      CAST(SUM(s) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS m
+               FROM sc GROUP BY doc_id),
+        pl AS (SELECT b.doc_id, b.lang, pd.m
+               FROM pd JOIN base b ON pd.doc_id = b.doc_id),
+        rk AS (SELECT doc_id, lang, m,
+                      ROW_NUMBER() OVER (PARTITION BY lang
+                                         ORDER BY m, doc_id) AS r,
+                      COUNT(*) OVER (PARTITION BY lang) AS n
+               FROM pl)
+        SELECT doc_id, lang, ROUND(m, 4) AS mean_surprisal,
+               CASE WHEN r * 3 <= n THEN 'head'
+                    WHEN r * 3 <= 2 * n THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM rk
+    """,
+)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail bucketing: per-language surprisal
+    terciles over the add-one bigram LM score (the selection step of
+    arXiv:1911.00359 §4.3 — CCNet keeps the head/middle buckets).
+
+    The scoring block mirrors bigram_lm_surprisal (kept inline there —
+    this round's driver-prefix change-tracking pins that query's code);
+    the new step is the per-language tercile: rank each doc inside its
+    language by mean surprisal (ties by doc_id) and cut at r*3 <= n and
+    r*3 <= 2n — pure integer bucket edges, no interpolated-quantile
+    float to diverge between engines.
+
+    Scale shape: the window ranks a NARROW (doc_id, lang, m) row — the
+    document payload never rides the per-lang sort shuffle. Languages
+    are few and Zipf-skewed ('en' dominates); at 100 TB the exact
+    per-lang sort becomes the bottleneck and the honest swap is
+    percentile_approx cutoffs per language (one map-side-combined agg,
+    broadcast cutoffs, map-only assign) — same plan shape as CCNet's
+    own sampled-cutoff implementation. The exact rank version here is
+    the oracle-checkable twin of that design.
+    """
+    from pyspark.sql import Window
+
+    from docling_api_spark.functions.hashing import tokens
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", "lang", tokens(F.col("text")).alias("t")).persist()
+    uc = (
+        base.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vocab = uc.agg(F.count("*").alias("vocab"))
+    tt = F.col("t")
+    bigrams = F.when(
+        F.size(tt) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(tt)),
+            lambda i: F.struct(
+                F.get(tt, i - 2).alias("w1"), F.get(tt, i - 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = base.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("bcnt"))
+    sc = (
+        bg.join(bc, ["w1", "w2"])
+        .join(uc.withColumnRenamed("tok", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (F.length(F.bin(F.expr("(cnt + vocab) div (bcnt + 1)"))) - 1).alias("s"),
+        )
+    )
+    pd = sc.groupBy("doc_id").agg(
+        (F.sum("s") / F.count("*").cast("double")).alias("m")
+    )
+    pl = pd.join(base.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang")
+    r = F.row_number().over(w.orderBy("m", "doc_id"))
+    n = F.count("*").over(w)
+    return pl.select(
+        "doc_id",
+        "lang",
+        F.round("m", 4).alias("mean_surprisal"),
+        F.when(r * 3 <= n, "head")
+        .when(r * 3 <= 2 * n, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
