@@ -633,3 +633,119 @@ def render_json_export(spark, sf_dir):
     ext = extract(corpus)
     out = rendered(ext, "json")
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), "content")
+
+
+@query(
+    "span_order_audit", prio=55,
+    # North-rule sequence invariant as a first-class audit: the
+    # (kind, text, media_ref, order) stream of every extracted doc must
+    # be dense (order = 0..n-1, no gaps/dupes), in the kernel's reading
+    # order, with exactly one media span carrying a non-empty ref. The
+    # rich corpus makes the expected sequence a deterministic constant
+    # per doc, so the oracle is the invariant itself.
+    oracle="""
+        SELECT doc_id,
+               CAST(5 AS BIGINT) AS n_spans,
+               TRUE AS order_dense,
+               'heading>text>image>caption>table' AS kinds_seq,
+               CAST(1 AS BIGINT) AS n_media,
+               CAST(1 AS BIGINT) AS n_refs
+        FROM documents
+    """,
+)
+def span_order_audit(spark, sf_dir):
+    """Per-doc span-sequence audit over the extraction output
+    (north-rule invariant: span-sequence equality on
+    (kind, text, media_ref, order)).
+
+    Checks, per document: the order column is dense 0..n-1
+    (min=0, max=n-1, n distinct), the kind sequence ordered by
+    ``order`` matches the kernel's reading order, and media spans /
+    non-empty media_refs are counted.
+
+    Scale shape: explode is a narrow Generate over the extraction
+    output; one hash-agg on doc_id (partial+final). kinds_seq is
+    assembled JVM-side via array_sort(collect_list(struct)) —
+    struct comparison sorts by the leading ord field, so no
+    per-group sort pass and no Python."""
+    corpus = wrap_documents_as_rich_corpus(load(spark, sf_dir, "documents"))
+    ext = extract(corpus)
+    s = ext.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.order").alias("ord"),
+        F.col("s.kind").alias("kind"),
+        (F.col("s.media_ref") != "").alias("has_ref"),
+    )
+    agg = s.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.min("ord").alias("_min"),
+        F.max("ord").alias("_max"),
+        F.count_distinct("ord").alias("_dist"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "kind"))),
+                lambda x: x["kind"],
+            ),
+            ">",
+        ).alias("kinds_seq"),
+        F.sum(F.when(F.col("kind") == "image", 1).otherwise(0)).alias("n_media"),
+        F.sum(F.when(F.col("has_ref"), 1).otherwise(0)).alias("n_refs"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_spans",
+        (
+            (F.col("_min") == 0)
+            & (F.col("_max") == F.col("n_spans") - 1)
+            & (F.col("_dist") == F.col("n_spans"))
+        ).alias("order_dense"),
+        "kinds_seq",
+        "n_media",
+        "n_refs",
+    )
+
+
+@query(
+    "media_ref_integrity", prio=55,
+    # Interleaved-corpus referential integrity: every media_ref in the
+    # span stream must resolve to a media-sidecar row. A corrupted
+    # corpus is simulated by injecting one dangling ref (doc_id||'/m9',
+    # no sidecar row) for every doc_id % 7 == 0 — the audit must count
+    # it as unresolved without touching resolved refs.
+    oracle="""
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_refs,
+               CAST(1 AS BIGINT) AS n_resolved,
+               CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_dangling
+        FROM documents
+    """,
+)
+def media_ref_integrity(spark, sf_dir):
+    """Span→media-sidecar referential-integrity audit for interleaved
+    text+media corpora (north-rule input shape): counts per doc how
+    many span media_refs resolve to a sidecar row vs dangle.
+
+    Scale shape: both legs are narrow (doc_id, media_ref) projections
+    of the flat extraction — text never rides the join. The probe is
+    a hash join on media_ref (both sides hash-partition on the ref
+    key; at 100 TB this is the standard big-big narrow-key join, no
+    broadcast assumption) followed by one hash-agg on doc_id."""
+    corpus = wrap_documents_as_rich_corpus(load(spark, sf_dir, "documents"))
+    flat = extract_flat(corpus)
+    refs = flat.filter(F.col("media_ref") != "").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "media_ref"
+    )
+    docs = load(spark, sf_dir, "documents")
+    injected = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.col("doc_id").cast("string"), F.lit("/m9")).alias("media_ref"),
+    )
+    sidecar = media_table(flat).select("media_ref").withColumn("hit", F.lit(1))
+    probe = refs.unionByName(injected).join(sidecar, "media_ref", "left")
+    return probe.groupBy("doc_id").agg(
+        F.count("*").alias("n_refs"),
+        F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).alias("n_resolved"),
+        F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias("n_dangling"),
+    )

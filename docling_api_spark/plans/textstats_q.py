@@ -899,3 +899,172 @@ def ngram_diversity_stats(spark, sf_dir):
         "n_distinct_trigrams",
         "CASE WHEN n_tokens >= 3 THEN _td div n_trigrams END AS trigram_diversity_ppm",
     )
+
+
+@query(
+    "c4_line_filters", prio=55,
+    # C4-style line/document hygiene (Raffel et al. 2020 §2.2): keep
+    # only lines that end in terminal punctuation, have >= 3 words and
+    # carry no policy boilerplate; drop whole docs containing '{' or
+    # 'lorem ipsum'. The driver corpus has neither newlines nor
+    # punctuation, so one deterministic line per doc_id % 5 residue is
+    # injected to exercise every rule: policy line (dropped), short
+    # line (dropped), proper sentence (kept), curly-brace line (doc
+    # drop), lorem-ipsum line (doc drop). Line stats and the doc-drop
+    # flag are reported independently (orthogonal signals).
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, text || CASE doc_id % 5
+                WHEN 0 THEN chr(10) || 'Read our cookie policy and terms.'
+                WHEN 1 THEN chr(10) || 'short line'
+                WHEN 2 THEN chr(10) || 'This sentence ends with terminal punctuation.'
+                WHEN 3 THEN chr(10) || 'curly { brace ahead.'
+                ELSE chr(10) || 'lorem ipsum dolor sit amet.' END AS t0
+            FROM documents
+        ),
+        k AS (
+            SELECT doc_id, t0, string_split(t0, chr(10)) AS lns,
+                   list_filter(string_split(t0, chr(10)), ln ->
+                       regexp_matches(ln, '[.!?]$')
+                       AND len(list_filter(string_split(ln, ' '), w -> w <> '')) >= 3
+                       AND NOT contains(lower(ln), 'cookie policy')
+                       AND NOT contains(lower(ln), 'terms of use')
+                       AND NOT contains(lower(ln), 'javascript')) AS kept
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(len(lns) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               CAST(list_sum(list_prepend(0, list_transform(kept, x -> len(x))))
+                    AS BIGINT) AS kept_chars,
+               (contains(t0, '{') OR contains(lower(t0), 'lorem ipsum')) AS doc_dropped
+        FROM k
+    """,
+)
+def c4_line_filters(spark, sf_dir):
+    """C4 line filters + doc-level blocklist, per-doc stats.
+
+    Scale shape: pure projection — split/filter/aggregate are all
+    array HOFs on the row, zero shuffles at any corpus size; the text
+    column never leaves its scan partition."""
+    d = load(spark, sf_dir, "documents")
+    inj = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("\nRead our cookie policy and terms."))
+        .when(F.col("doc_id") % 5 == 1, F.lit("\nshort line"))
+        .when(F.col("doc_id") % 5 == 2,
+              F.lit("\nThis sentence ends with terminal punctuation."))
+        .when(F.col("doc_id") % 5 == 3, F.lit("\ncurly { brace ahead."))
+        .otherwise(F.lit("\nlorem ipsum dolor sit amet."))
+    )
+    t = d.select("doc_id", F.concat(F.col("text"), inj).alias("t0"))
+
+    def _keep(ln):
+        return (
+            ln.rlike("[.!?]$")
+            & (F.size(F.filter(F.split(ln, " "), lambda w: w != "")) >= 3)
+            & ~F.lower(ln).contains("cookie policy")
+            & ~F.lower(ln).contains("terms of use")
+            & ~F.lower(ln).contains("javascript")
+        )
+
+    lns = F.split(F.col("t0"), "\n")
+    kept = F.filter(lns, _keep)
+    return t.select(
+        "doc_id",
+        F.size(lns).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.aggregate(kept, F.lit(0).cast("long"), lambda a, x: a + F.length(x)).alias(
+            "kept_chars"
+        ),
+        (F.col("t0").contains("{") | F.lower(F.col("t0")).contains("lorem ipsum")).alias(
+            "doc_dropped"
+        ),
+    )
+
+
+@query(
+    "repetition_ngram_fractions", prio=55,
+    # Gopher repetition signals (Rae et al. 2021, Table A1): characters
+    # covered by the single most-frequent 3-gram, and characters covered
+    # by all duplicated 5-grams (count>=2, counted per occurrence).
+    # Integer ppm lanes so the cross-engine hash is division-exact.
+    oracle=f"""
+        WITH t AS (SELECT doc_id, len(text) AS n_chars_text, {_TOKS} AS tok
+                   FROM documents),
+        g3 AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+                   SELECT doc_id,
+                          unnest([tok[i]||' '||tok[i+1]||' '||tok[i+2]
+                                  for i in range(1, len(tok)-1)]) AS g
+                   FROM t) GROUP BY doc_id, g),
+        g5 AS (SELECT doc_id, g, COUNT(*) AS c FROM (
+                   SELECT doc_id,
+                          unnest([tok[i]||' '||tok[i+1]||' '||tok[i+2]||' '||tok[i+3]||' '||tok[i+4]
+                                  for i in range(1, len(tok)-3)]) AS g
+                   FROM t) GROUP BY doc_id, g),
+        t3 AS (SELECT doc_id, MAX(c * len(g)) AS top FROM g3 GROUP BY doc_id),
+        d5 AS (SELECT doc_id, SUM(c * len(g)) AS dup FROM g5 WHERE c >= 2
+               GROUP BY doc_id)
+        SELECT t.doc_id, CAST(n_chars_text AS BIGINT) AS n_chars_text,
+               CAST(COALESCE(top, 0) AS BIGINT) AS top_trigram_chars,
+               CAST(COALESCE(dup, 0) AS BIGINT) AS dup_5gram_chars,
+               CAST(COALESCE(top, 0) * 1000000 // n_chars_text AS BIGINT)
+                   AS top_trigram_ppm,
+               CAST(COALESCE(dup, 0) * 1000000 // n_chars_text AS BIGINT)
+                   AS dup_5gram_ppm
+        FROM t LEFT JOIN t3 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+    """,
+)
+def repetition_ngram_fractions(spark, sf_dir):
+    """Gopher-style repetition fractions: top-3-gram char coverage and
+    duplicated-5-gram char coverage, as integer ppm of doc chars.
+
+    Scale shape: explode → (doc_id, gram) hash-agg → doc_id re-agg;
+    gram rows are narrow (id + short string), the text column never
+    shuffles. Two shuffles per n-gram leg, both partial+final; the
+    final three-way join is doc_id-keyed and co-partitioned with the
+    re-agg output. Linear in corpus tokens (the zero-shuffle HOF
+    alternative is O(len^2) per doc and loses on long docs)."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("tok"))
+
+    def grams(n):
+        tok = F.col("tok")
+        return F.when(
+            F.size(tok) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tok) - n),
+                lambda i: F.concat_ws(" ", *[F.get(tok, i + j) for j in range(n)]),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def counted(n):
+        return (
+            t.select("doc_id", F.explode(grams(n)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+        )
+
+    top3 = counted(3).groupBy("doc_id").agg(
+        F.max(F.col("c") * F.length("g")).alias("top")
+    )
+    dup5 = (
+        counted(5)
+        .filter(F.col("c") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.length("g")).alias("dup"))
+    )
+    base = d.select("doc_id", F.length("text").cast("long").alias("n_chars_text"))
+    out = base.join(top3, "doc_id", "left").join(dup5, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "n_chars_text",
+        F.coalesce(F.col("top"), F.lit(0)).cast("long").alias("top_trigram_chars"),
+        F.coalesce(F.col("dup"), F.lit(0)).cast("long").alias("dup_5gram_chars"),
+    ).selectExpr(
+        "doc_id",
+        "n_chars_text",
+        "top_trigram_chars",
+        "dup_5gram_chars",
+        "top_trigram_chars * 1000000 div n_chars_text AS top_trigram_ppm",
+        "dup_5gram_chars * 1000000 div n_chars_text AS dup_5gram_ppm",
+    )
