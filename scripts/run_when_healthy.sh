@@ -19,6 +19,15 @@ probe() {
   python3 -c "import time,numpy as np; t0=time.perf_counter(); a=np.ones(2**27,dtype=np.uint8); print(round(0.128/(time.perf_counter()-t0),2))"
 }
 
+# Foreign Spark JVMs (interactive test runs) sharing the box would
+# contaminate the measurement — wait for quiescence before each step.
+wait_quiet() {
+  while pgrep -f 'java.*org.apache.spark' > /dev/null 2>&1; do
+    log "foreign Spark JVM present — waiting 30s for quiescence"
+    sleep 30
+  done
+}
+
 log "=== run_when_healthy start (pid $$) ==="
 
 # Phase 1: wait for a confirmed-healthy window (up to 4 h).
@@ -30,6 +39,7 @@ fi
 log "healthy window confirmed — starting official sequence"
 
 # Phase 2: official full-suite bench at sf0.1 / local[32].
+wait_quiet
 P=$(probe); log "pre-bench probe ${P} GB/s"
 python bench.py > BENCH_HEALTHY.json 2> scripts/bench_healthy.stderr
 RC=$?
@@ -45,6 +55,7 @@ for FMT in html pdf mixed; do
     log "pre-scaling($FMT) probe ${P} GB/s — window closed, re-waiting"
     python3 scripts/health_watch.py >> "$LOG" 2>&1 || { log "TIMEOUT re-waiting before $FMT"; exit 1; }
   fi
+  wait_quiet
   SPARK_GRAFT_SCALE_LEVELS=2,8,32 SPARK_GRAFT_SCALE_FMT=$FMT \
     python bench.py --scaling > scripts/scaling_${FMT}.out 2>&1
   log "scaling($FMT) done rc=$?"
