@@ -53,12 +53,12 @@ def query(name: str, oracle: str | None = None, prio: int = 50):
 
 # --- Round-4 driver-prefix plan -------------------------------------------
 # The driver checks the first 50 registry entries each round. Slot
-# budget (1 + 2 + 9 + 13 + 23 + 2 = 50):
+# budget (1 + 2 + 13 + 13 + 19 + 2 = 50):
 #   5  — cheapest query first (absorbs session warmup)
 #   6  — the two registry entries that have NEVER had a driver row
 #        (both have locally-green oracles; VERDICT r3 ask #3), plus
-#        the four queries ADDED in round 4 (first proof beats a third
-#        refresh of an r1-green row — four of the simplest stale-r1
+#        the thirteen queries ADDED in round 4 (first proof beats a
+#        third refresh of an r1-green row — the simplest stale-r1
 #        expressions moved out to make room)
 #   7  — every query whose implementation or oracle changed in round 4
 #        (winnow Generate fix, broadcast centroids, endpoint-only CC,
@@ -78,6 +78,8 @@ _R4_NEVER = frozenset({
     "centroid_label_purity", "tfidf_top_terms", "embedding_dim_health",
     "incremental_near_dup", "ngram_diversity_stats",
     "streaming_incremental_dedup",
+    "span_order_audit", "media_ref_integrity", "c4_line_filters",
+    "repetition_ngram_fractions",
 })
 _R4_CHANGED = frozenset({
     "winnow_fingerprints", "winnow_dup_pairs", "content_defined_chunks",
@@ -93,16 +95,20 @@ _R4_STALE_R1 = frozenset({
     # round-4 first-proof slots: single-expression scan/set queries
     # (and dedup_exact, whose hash-groupBy is re-proven inside the
     # cascade gate every round) — the least likely r1-green rows to
-    # have regressed.
+    # have regressed. per_group_counts / semi_join_exists / topk_global
+    # / rollup_status_priority moved out late-round to fund first-proof
+    # slots for the four span/line-audit queries added after the
+    # original budget (same policy: trivial single-shuffle relational
+    # gates, r1-green, operators untouched since).
     "join_fact_dim", "join_three_dims", "anti_join_add_if_absent",
-    "per_group_counts", "tpch_q1_style", "topk_per_group",
+    "tpch_q1_style", "topk_per_group",
     "overfetch_rescore_trim", "rrf_fusion",
     "salted_skew_join", "windowed_event_counts", "chunk_documents",
     "dedup_minhash_pairs", "ngram_jaccard_ref",
     "simhash_dup_pairs", "media_decode_dims", "extract_span_counts",
-    "extract_rich_spans", "semi_join_exists", "topk_global",
+    "extract_rich_spans",
     "sketch_distinct_users", "sketch_value_quantiles",
-    "min_cost_supplier", "rollup_status_priority",
+    "min_cost_supplier",
 })
 _R4_STALE_R2_PICKS = frozenset({"dedup_cascade_survivors", "knn_cosine_topk"})
 
