@@ -749,3 +749,74 @@ def media_ref_integrity(spark, sf_dir):
         F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)).alias("n_resolved"),
         F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias("n_dangling"),
     )
+
+
+@query(
+    "checkpoint_lineage_audit", prio=55,
+    # North-rule resumability as a driver-checked invariant: run the
+    # checkpointed extraction with an injected crash after 2 of 4
+    # bucket batches, resume, then audit the commit-metadata stream.
+    # Exactly-once coverage means the lineage metrics summed across
+    # BOTH runs' manifests equal the corpus totals computed straight
+    # from the documents table (any double-processed or skipped bucket
+    # breaks docs/spans/chars equality), the 16 buckets appear exactly
+    # once across manifests, and the resume continued the seq chain
+    # (max_seq = n_commits - 1). The rich-corpus spans are exact
+    # per-row functions (see extract_rich_spans), so total span chars
+    # is SQL-computable.
+    oracle="""
+        SELECT CAST(4 AS BIGINT) AS n_commits,
+               CAST(3 AS BIGINT) AS max_seq,
+               CAST(16 AS BIGINT) AS n_bucket_entries,
+               CAST(16 AS BIGINT) AS n_distinct_buckets,
+               CAST(COUNT(*) AS BIGINT) AS docs,
+               CAST(5 * COUNT(*) AS BIGINT) AS spans,
+               CAST(SUM(
+                   len('Heading for document ' || doc_id) + len(text)
+                   + len('figure alt ' || doc_id)
+                   + len('Figure caption ' || doc_id)
+                   + len('lang | ' || lang || chr(10) || 'chars | ' || n_chars)
+               ) AS BIGINT) AS chars
+        FROM documents
+    """,
+)
+def checkpoint_lineage_audit(spark, sf_dir):
+    """Crash + resume over the bucket-batch commit log, audited through
+    the per-partition lineage metrics (north_rule: "resumable from
+    checkpoint with per-partition lineage + metrics"; reference
+    pending-work semantics core/jobs.py:22-24).
+
+    Scale shape: the unit of recovery is the bucket batch (dynamic
+    partition overwrite + atomic manifest publish, checkpoint.py); the
+    audit itself reads only commit metadata — one manifest listing,
+    no data-file scan — exactly the Iceberg-commit-metadata query a
+    100 TB operator would run after a failover."""
+    import shutil
+    import tempfile
+
+    from docling_api_spark.checkpoint import commit_history, extract_with_checkpoint
+
+    corpus = wrap_documents_as_rich_corpus(load(spark, sf_dir, "documents"))
+    tmp = tempfile.mkdtemp(prefix="ckpt_lineage_")
+    try:
+        try:
+            extract_with_checkpoint(
+                corpus, tmp, num_buckets=16, batch_buckets=4, fail_after_batches=2
+            )
+        except RuntimeError:
+            pass  # the injected mid-job crash
+        extract_with_checkpoint(corpus, tmp, num_buckets=16, batch_buckets=4)
+        hist = commit_history(spark, tmp)
+        return hist.agg(
+            F.count("*").cast("long").alias("n_commits"),
+            F.max("seq").cast("long").alias("max_seq"),
+            F.sum(F.size("buckets")).cast("long").alias("n_bucket_entries"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("buckets"))))
+            .cast("long")
+            .alias("n_distinct_buckets"),
+            F.sum("docs").cast("long").alias("docs"),
+            F.sum("spans").cast("long").alias("spans"),
+            F.sum("chars").cast("long").alias("chars"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
