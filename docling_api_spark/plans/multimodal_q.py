@@ -99,3 +99,102 @@ def video_frame_plan(spark, sf_dir):
         (24 + (F.col("doc_id") % 2) * 6).cast("double").alias("fps"),
     )
     return frame_sample_plan(media, every_s=1.0, max_frames=32)
+
+
+@query(
+    "multimodal_packing_plan", prio=55,
+    # Interleaved text+media training-sequence packing: each doc's cost
+    # in the packed token stream is its text spans' whitespace tokens
+    # plus a fixed 64-vision-token budget per image span (the
+    # patch-grid budget a multimodal LM pays per image). Docs
+    # concatenate in doc_id order and split at seq_len=512; a media
+    # span is ATOMIC, so the audit also reports whether the image's
+    # [media_start, media_start+64) interval straddles a sequence
+    # boundary (those docs need re-padding at materialization time).
+    # Rich-corpus spans are exact per-row functions (extract_rich_spans)
+    # so every cost is SQL-computable.
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   4 + len({S.toks("text")}) AS media_intra,
+                   4 + len({S.toks("text")}) + 64 + 3
+                     + len({S.toks("'lang | ' || lang || chr(10) || 'chars | ' || n_chars")})
+                     AS doc_cost
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, doc_cost, media_intra,
+                   CAST(COALESCE(SUM(doc_cost) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS stream_offset
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(doc_cost AS BIGINT) AS doc_cost,
+               stream_offset,
+               stream_offset // 512 AS first_seq,
+               (stream_offset + doc_cost - 1) // 512 AS last_seq,
+               CAST(stream_offset + media_intra AS BIGINT) AS media_start,
+               ((stream_offset + media_intra) // 512
+                <> (stream_offset + media_intra + 63) // 512) AS media_straddles
+        FROM p
+    """,
+)
+def multimodal_packing_plan(spark, sf_dir):
+    """Token-budget packing plan for an interleaved text+media corpus
+    (north-rule input shape), with media-atomicity audit.
+
+    Scale shape: costs come from one narrow explode + hash-agg over
+    the extraction span stream (per-span intra-doc offsets via a
+    window partitioned by doc_id — bounded 5-row partitions); the
+    global stream offset is the exact distributed exclusive prefix sum
+    (operators/rank.py prefix_sum: one parallel range shuffle +
+    broadcast per-partition totals), never an unpartitioned
+    running-total window. Text never rides any shuffle — only
+    (doc_id, ord, cost) rows."""
+    from pyspark.sql import Window
+
+    from docling_api_spark.functions.hashing import tokens
+    from docling_api_spark.operators.extract import extract
+    from docling_api_spark.operators.rank import prefix_sum
+    from docling_api_spark.sources.catalog import wrap_documents_as_rich_corpus
+
+    corpus = wrap_documents_as_rich_corpus(load(spark, sf_dir, "documents"))
+    spans = extract(corpus).select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.explode("spans").alias("s")
+    )
+    per_span = spans.select(
+        "doc_id",
+        F.col("s.order").alias("ord"),
+        F.col("s.kind").alias("kind"),
+        F.when(F.col("s.kind") == "image", F.lit(64))
+        .otherwise(F.size(tokens(F.col("s.text"))))
+        .cast("long")
+        .alias("cost"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_intra = per_span.withColumn(
+        "intra", F.coalesce(F.sum("cost").over(w), F.lit(0)).cast("long")
+    )
+    per_doc = with_intra.groupBy("doc_id").agg(
+        F.sum("cost").cast("long").alias("doc_cost"),
+        F.max(F.when(F.col("kind") == "image", F.col("intra"))).alias("media_intra"),
+    )
+    p = prefix_sum(per_doc, "doc_cost", ["doc_id"], out_col="stream_offset")
+    media_start = (F.col("stream_offset") + F.col("media_intra")).cast("long")
+    return p.select(
+        "doc_id",
+        "doc_cost",
+        "stream_offset",
+        F.expr("stream_offset div 512").alias("first_seq"),
+        F.expr("(stream_offset + doc_cost - 1) div 512").alias("last_seq"),
+        media_start.alias("media_start"),
+        (
+            F.expr("(stream_offset + media_intra) div 512")
+            != F.expr("(stream_offset + media_intra + 63) div 512")
+        ).alias("media_straddles"),
+    )

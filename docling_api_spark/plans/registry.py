@@ -53,11 +53,11 @@ def query(name: str, oracle: str | None = None, prio: int = 50):
 
 # --- Round-4 driver-prefix plan -------------------------------------------
 # The driver checks the first 50 registry entries each round. Slot
-# budget (1 + 2 + 14 + 13 + 18 + 2 = 50):
+# budget (1 + 2 + 15 + 13 + 17 + 2 = 50):
 #   5  — cheapest query first (absorbs session warmup)
 #   6  — the two registry entries that have NEVER had a driver row
 #        (both have locally-green oracles; VERDICT r3 ask #3), plus
-#        the fourteen queries ADDED in round 4 (first proof beats a
+#        the fifteen queries ADDED in round 4 (first proof beats a
 #        third refresh of an r1-green row — the simplest stale-r1
 #        expressions moved out to make room)
 #   7  — every query whose implementation or oracle changed in round 4
@@ -80,6 +80,7 @@ _R4_NEVER = frozenset({
     "streaming_incremental_dedup",
     "span_order_audit", "media_ref_integrity", "c4_line_filters",
     "repetition_ngram_fractions", "checkpoint_lineage_audit",
+    "multimodal_packing_plan",
 })
 _R4_CHANGED = frozenset({
     "winnow_fingerprints", "winnow_dup_pairs", "content_defined_chunks",
@@ -96,9 +97,10 @@ _R4_STALE_R1 = frozenset({
     # (and dedup_exact, whose hash-groupBy is re-proven inside the
     # cascade gate every round) — the least likely r1-green rows to
     # have regressed. per_group_counts / semi_join_exists / topk_global
-    # / rollup_status_priority / sketch_value_quantiles moved out
-    # late-round to fund first-proof slots for the five audit queries
-    # added after the original budget (same policy: trivial
+    # / rollup_status_priority / sketch_value_quantiles /
+    # min_cost_supplier moved out late-round to fund first-proof
+    # slots for the six audit/packing
+    # queries added after the original budget (same policy: trivial
     # single-shuffle gates, r1-green, operators untouched since).
     "join_fact_dim", "join_three_dims", "anti_join_add_if_absent",
     "tpch_q1_style", "topk_per_group",
@@ -108,7 +110,6 @@ _R4_STALE_R1 = frozenset({
     "simhash_dup_pairs", "media_decode_dims", "extract_span_counts",
     "extract_rich_spans",
     "sketch_distinct_users",
-    "min_cost_supplier",
 })
 _R4_STALE_R2_PICKS = frozenset({"dedup_cascade_survivors", "knn_cosine_topk"})
 
