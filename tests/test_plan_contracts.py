@@ -203,3 +203,16 @@ def test_self_joins_read_cached_inputs(spark):
     ):
         plan = _plan(spark, name)
         assert plan.count("InMemoryTableScan") >= 2, f"{name}: self-join side(s) uncached\n{plan}"
+
+
+def test_repetition_grams_read_bound_token_array(spark):
+    """repetition_ngram_fractions builds n-grams via per-element F.get
+    over the token array; the array must be let-bound so each get reads
+    the lambda variable — an inlined tokens(text) chain there would
+    re-tokenize the document once per gram element (the quadratic
+    Generate shape of VERDICT r3 #1). `get(`/`element_at(` may never
+    apply directly to a filter(split(...)) subtree."""
+    plan = _plan(spark, "repetition_ngram_fractions")
+    flat = plan.replace("\n", " ")
+    for probe in ("get(filter(split", "element_at(filter(split"):
+        assert probe not in flat, plan
