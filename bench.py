@@ -134,6 +134,29 @@ EXTENDED_R3 = [
     "session_funnel",
 ]
 
+# round-4 additions, timed outside all frozen sets.
+# checkpoint_lineage_audit is EXCLUDED from timing: it writes a
+# checkpointed table + commit manifests to a tempdir (side-effectful
+# by design — it's the crash/resume machinery under audit), so it
+# runs in the correctness gates, not the throughput suite.
+EXTENDED_R4 = [
+    "incremental_near_dup",
+    "streaming_incremental_dedup",
+    "domain_frequency_cap",
+    "group_leakage_split",
+    "pmi_collocations",
+    "tfidf_top_terms",
+    "centroid_label_purity",
+    "embedding_dim_health",
+    "ngram_diversity_stats",
+    "ccnet_perplexity_buckets",
+    "span_order_audit",
+    "media_ref_integrity",
+    "c4_line_filters",
+    "repetition_ngram_fractions",
+    "multimodal_packing_plan",
+]
+
 # FROZEN as of round 4: winnow_fingerprints + the heaviest round-3
 # additions, totalled separately so round-over-round attribution of
 # the expensive tail survives registry growth (VERDICT r3 ask #8).
@@ -268,6 +291,10 @@ def run_suite(sf_dir: str, cpus: str) -> dict:
     extended_r3 = _time_set(EXTENDED_R3)
     membw_probes["post_extended_r3"] = _membw_quick_gbps()
 
+    # round-4 operators, same discipline, separate section
+    extended_r4 = _time_set(EXTENDED_R4)
+    membw_probes["post_extended_r4"] = _membw_quick_gbps()
+
     # IVF in deployment shape: build once, probe many (BENCH item 10)
     ivf = _ivf_build_probe(spark, sf_dir)
     spark.catalog.clearCache()
@@ -282,7 +309,7 @@ def run_suite(sf_dir: str, cpus: str) -> dict:
         extras["extraction_docs_per_sec"] = round(n_docs / t, 1)
         extras["extraction_mb_per_sec"] = round((n_bytes or 0) / 1e6 / t, 2)
 
-    all_timed = {**timings, **extended, **extended_r3}
+    all_timed = {**timings, **extended, **extended_r3, **extended_r4}
     heavy = {n: all_timed[n] for n in FROZEN_HEAVY if n in all_timed}
     degraded = min(membw_probes.values()) < DEGRADED_GBPS
     # COMPACT stdout record (VERDICT r3 #2: the single JSON line
@@ -297,6 +324,7 @@ def run_suite(sf_dir: str, cpus: str) -> dict:
         "queries": timings,
         "extended_total_sec": round(sum(extended.values()), 3),
         "extended_r3_total_sec": round(sum(extended_r3.values()), 3),
+        "extended_r4_total_sec": round(sum(extended_r4.values()), 3),
         "frozen_heavy_total_sec": round(sum(heavy.values()), 3),
         **ivf,
         "sf": _sf_of(sf_dir),
@@ -312,6 +340,7 @@ def run_suite(sf_dir: str, cpus: str) -> dict:
         **compact,
         "queries_extended_r2": extended,
         "queries_extended_r3": extended_r3,
+        "queries_extended_r4": extended_r4,
         "queries_frozen_heavy": heavy,
     }
     with open(os.path.join(os.path.dirname(__file__) or ".", "BENCH_DETAIL.json"), "w") as f:
