@@ -16,7 +16,10 @@ if ! python3 -c "import sys; sys.exit(0 if float('$P') >= 50 else 1)"; then
   log "cluster: probe ${P} GB/s — window closed, waiting"
   python3 scripts/health_watch.py >> "$LOG" 2>&1 || { log "cluster: TIMEOUT waiting"; exit 1; }
 fi
-while pgrep -f 'java.*org.apache.spark' > /dev/null 2>&1; do sleep 30; done
-log "cluster: running real-cluster scaling legs"
-python scripts/cluster_bench.py /root/testdata/sf0.1 > scripts/cluster_bench.out 2>&1
-log "cluster: done rc=$? ($(head -c 300 scripts/cluster_bench.out | tail -c 200 | tr -d '\n'))"
+for FMT in html mixed; do
+  while pgrep -f 'java.*org.apache.spark' > /dev/null 2>&1; do sleep 30; done
+  log "cluster($FMT): running real-cluster scaling legs"
+  SPARK_GRAFT_SCALE_FMT=$FMT python scripts/cluster_bench.py /root/testdata/sf0.1 \
+    > scripts/cluster_bench_${FMT}.out 2>&1
+  log "cluster($FMT): done rc=$? ($(tail -c 250 scripts/cluster_bench_${FMT}.out | tr -d '\n'))"
+done

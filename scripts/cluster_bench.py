@@ -158,7 +158,10 @@ def main() -> None:
         "sf_dir": sf_dir,
         "repl": repl,
     }
-    path = os.path.join(ROOT, "BENCH_CLUSTER.json")
+    out_name = (
+        "BENCH_CLUSTER.json" if fmt == "html" else f"BENCH_CLUSTER_{fmt}.json"
+    )
+    path = os.path.join(ROOT, out_name)
     prev = {}
     if os.path.exists(path):
         try:

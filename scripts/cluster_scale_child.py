@@ -44,29 +44,59 @@ def main() -> None:
 
     n_exec = int(spark.conf.get("spark.cores.max"))
     n_tasks = n_exec * 2
-    wrap = wrap_documents_as_pdf_corpus if fmt == "pdf" else wrap_documents_as_corpus
 
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .select(F.col("doc_id").cast("string").alias("doc_id"), "text", "n_chars")
     )
 
-    def job(replication: int):
-        big = (
-            docs.repartition(n_tasks)
-            .withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(replication - 1))))
-            .select(F.concat_ws("_", "doc_id", "r").alias("doc_id"), "text")
-        )
-        return extract(wrap(big)).select(
-            "doc_id", render_text(F.col("spans")).alias("content")
-        )
+    if fmt == "mixed":
+        # TRUE interleaved corpus: the 40/30/10/10/10 format mix with
+        # the 1-in-500 oversized-PDF skew tail, generated distributed
+        # (same path as bench.py --scaling fmt=mixed)
+        from docling_api_spark.corpus import corpus_df
 
-    # pipeline-exact warm-up at 1% scale: JIT-compiles every codegen
-    # stage and spins each executor's Python worker
-    job(max(repl // 100, 1)).write.format("noop").mode("overwrite").save()
+        base = docs.count()
 
-    n_docs, n_bytes = docs.selectExpr("count(*)", "sum(n_chars)").first()
-    n_docs, n_bytes = n_docs * repl, (n_bytes or 0) * repl
+        def job(replication: int):
+            corpus = corpus_df(spark, base * replication, partitions=n_tasks)
+            return extract(corpus).select(
+                "doc_id", render_text(F.col("spans")).alias("content")
+            )
+
+        job(max(repl // 100, 1)).write.format("noop").mode("overwrite").save()
+        n_docs = base * repl
+        n_bytes = (
+            corpus_df(spark, n_docs, partitions=n_tasks)
+            .select(
+                F.aggregate(
+                    "spans", F.lit(0).cast("long"), lambda a, s: a + F.length(s["text"])
+                ).alias("b")
+            )
+            .agg(F.sum("b"))
+            .first()[0]
+        )
+    else:
+        wrap = wrap_documents_as_pdf_corpus if fmt == "pdf" else wrap_documents_as_corpus
+
+        def job(replication: int):
+            big = (
+                docs.repartition(n_tasks)
+                .withColumn(
+                    "r", F.explode(F.sequence(F.lit(0), F.lit(replication - 1)))
+                )
+                .select(F.concat_ws("_", "doc_id", "r").alias("doc_id"), "text")
+            )
+            return extract(wrap(big)).select(
+                "doc_id", render_text(F.col("spans")).alias("content")
+            )
+
+        # pipeline-exact warm-up at 1% scale: JIT-compiles every codegen
+        # stage and spins each executor's Python worker
+        job(max(repl // 100, 1)).write.format("noop").mode("overwrite").save()
+
+        n_docs, n_bytes = docs.selectExpr("count(*)", "sum(n_chars)").first()
+        n_docs, n_bytes = n_docs * repl, (n_bytes or 0) * repl
 
     out = job(repl)
     t0 = time.perf_counter()
