@@ -328,7 +328,16 @@ def media_table(flat: DataFrame, media_dims: DataFrame | None = None) -> DataFra
     ``media_dims`` (media_ref, width, height — e.g. the decode output
     of ``operators.multimodal.media_features`` over the payload table)
     attaches pixel dims to embedded rows via a narrow-key left join;
-    page_render rows carry the kernel's fixed page geometry."""
+    page_render rows carry the kernel's fixed page geometry.
+
+    The input is persisted: the image, caption-attach, and page-render
+    legs each consume ``flat``, and unpersisted that re-runs the
+    extraction kernel once per leg (3 MapInPandas subtrees measured —
+    the dominant cost at any scale). In production these sidecar views
+    read the materialized extraction table; the cache stands in for it
+    (same pattern as the cached self-join inputs, pinned by
+    tests/test_plan_contracts.py)."""
+    flat = flat.persist()
     img = flat.filter(F.col("kind") == "image")
     from pyspark.sql import Window as W
 

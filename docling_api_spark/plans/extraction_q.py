@@ -731,9 +731,15 @@ def media_ref_integrity(spark, sf_dir):
     of the flat extraction — text never rides the join. The probe is
     a hash join on media_ref (both sides hash-partition on the ref
     key; at 100 TB this is the standard big-big narrow-key join, no
-    broadcast assumption) followed by one hash-agg on doc_id."""
+    broadcast assumption) followed by one hash-agg on doc_id. The
+    flat span stream is PERSISTED: refs + media_table's img/caption/
+    page-render legs would otherwise each re-run the extraction
+    kernel (measured 4 MapInPandas subtrees in the unpersisted plan).
+    In production this audit reads the already-materialized extraction
+    table — the cache stands in for that table, pinned by a plan
+    contract (one kernel pass, both consumers on InMemoryTableScan)."""
     corpus = wrap_documents_as_rich_corpus(load(spark, sf_dir, "documents"))
-    flat = extract_flat(corpus)
+    flat = extract_flat(corpus).persist()
     refs = flat.filter(F.col("media_ref") != "").select(
         F.col("doc_id").cast("long").alias("doc_id"), "media_ref"
     )

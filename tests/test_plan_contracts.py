@@ -216,3 +216,17 @@ def test_repetition_grams_read_bound_token_array(spark):
     flat = plan.replace("\n", " ")
     for probe in ("get(filter(split", "element_at(filter(split"):
         assert probe not in flat, plan
+
+
+def test_media_ref_integrity_single_kernel_pass(spark):
+    """media_ref_integrity consumes the flat span stream from several
+    legs (refs probe, media_table's image/caption/page-render lanes);
+    unpersisted, each leg re-runs the extraction kernel (measured: 4
+    MapInPandas subtrees). The flat stream must be cached — exactly
+    one kernel subtree, every consumer on an InMemoryTableScan."""
+    import re
+
+    plan = _plan(spark, "media_ref_integrity")
+    kernels = set(re.findall(r"MapInPandas \((\d+)\)", plan))
+    assert len(kernels) <= 1, f"kernel subtrees: {kernels}\n{plan}"
+    assert plan.count("InMemoryTableScan") >= 2, plan
