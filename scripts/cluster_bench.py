@@ -70,6 +70,14 @@ def run_level(sf_dir: str, n_exec: int, repl: int, fmt: str) -> dict:
         "--conf", "spark.sql.adaptive.coalescePartitions.enabled=false",
         "--conf", "spark.driver.memory=8g",
         "--conf", "spark.ui.enabled=false",
+        # Fault the whole heap in at JVM launch (Xms=Xmx under Spark),
+        # OUTSIDE the timed region: this box's degraded-memory windows
+        # collapse the first-touch path specifically (BASELINE.md), and
+        # lazy heap growth otherwise lands that host-serialized cost
+        # inside the measured job — asymmetrically, since 4N executors
+        # fault 4N heaps. Healthy boxes are unaffected.
+        "--conf", "spark.executor.extraJavaOptions=-XX:+AlwaysPreTouch",
+        "--conf", "spark.driver.extraJavaOptions=-XX:+AlwaysPreTouch",
     ]
     if os.path.isdir("/dev/shm"):
         conf += ["--conf", "spark.local.dir=/dev/shm/spark-cluster-tmp"]
