@@ -397,26 +397,20 @@ def semdedup(
 
     Returns (id, cell, dropped).
 
-    Scale shape: the per-id assignment window is width-``n_cells``
-    (narrow); ``cell`` is the only shuffle key afterwards, and the
-    pairwise check is the paper's within-cluster O(m²) — bounded by
-    cluster size, never corpus-wide. Identical vectors always share a
-    cell, so exact-dup recall is 1.0 by construction.
+    Scale shape: cell assignment is the ZERO-shuffle argmax
+    (operators/search.py:assign_cells — the old per-id window shape
+    multiplied every vector n_cells× and shuffled the payload arrays
+    through a row_number sort); ``cell`` is the only shuffle key
+    afterwards, and the pairwise check is the paper's within-cluster
+    O(m²) — bounded by cluster size, never corpus-wide. Identical
+    vectors always share a cell, so exact-dup recall is 1.0 by
+    construction.
     """
-    from pyspark.sql import Window as W
-
     from docling_api_spark.functions.hashing import ivf_centroids
 
-    from docling_api_spark.operators.search import centroid_scores
+    from docling_api_spark.operators.search import assign_cells
 
     cents = ivf_centroids(dim, n_cells)
-    scored = centroid_scores(
-        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
-        cents,
-        "v",
-        scale,
-    )
-    w = W.partitionBy("id").orderBy(F.desc("ccos"), "cell")
     # persist: the within-cell self-join reads the assignment from
     # both sides; without the cache each side recomputes all n_cells
     # centroid cosines. The L2 norm is computed ONCE per vector here so
@@ -431,8 +425,13 @@ def semdedup(
         )
     )
     assigned = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        assign_cells(
+            vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+            cents,
+            "v",
+            scale,
+            score_col=None,
+        )
         .select("id", "v", "cell", norm.alias("nrm"))
         .persist()
     )

@@ -24,7 +24,60 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from docling_api_spark.functions.hashing import cosine, srp_planes, srp_signature
+from docling_api_spark.functions.hashing import cosine, let, srp_planes, srp_signature
+
+
+def assign_cells(
+    df: DataFrame,
+    cents: list[list[float]],
+    vec_col: str,
+    scale: int = 6,
+    score_col: str | None = "ccos",
+) -> DataFrame:
+    """Argmax-cosine coarse-quantizer cell per row (adds ``cell`` INT
+    and, when ``score_col`` is set, the winning rounded cosine) with
+    ZERO row multiplication and ZERO shuffle.
+
+    The n_cells×dim centroid grid rides a single-row broadcast join as
+    one ``array<array<double>>`` column (constant-size plan — no
+    ``F.lit`` unrolling, VERDICT r3 #3); per-row scores are one
+    let-bound ``transform`` over it, and the cell is
+    ``array_position(scores, array_max(scores)) - 1``. array_position
+    returns the FIRST match, i.e. the smallest cell id — identical
+    tie-break to the previous ``ORDER BY ccos DESC, cell ASC`` window
+    (ties are well-defined because scores are rounded to ``scale``).
+
+    This replaces the ``centroid_scores`` + per-id window-argmax shape
+    for ASSIGNMENT consumers: that shape multiplied every corpus row
+    n_cells× and shuffled the multiplied rows — payload vector
+    included — through a per-id row_number sort. At 100 TB the
+    difference is a full corpus-width shuffle vs none at all.
+    ``centroid_scores`` below remains for the multi-cell PROBE side
+    (top-nprobe cells of a single query row needs all n_cells scores
+    as rows)."""
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [([[float(x) for x in v] for v in cents],)],
+        schema="__cents ARRAY<ARRAY<DOUBLE>> NOT NULL",
+    )
+    best = let(
+        F.transform(F.col("__cents"), lambda c: cosine(F.col(vec_col), c, scale)),
+        lambda s: let(
+            F.array_max(s),
+            lambda m: F.struct(
+                (F.array_position(s, m) - 1).cast("int").alias("cell"),
+                m.alias("ccos"),
+            ),
+        ),
+    )
+    out = [F.col("__best.cell").alias("cell")]
+    if score_col is not None:
+        out.append(F.col("__best.ccos").alias(score_col))
+    return (
+        df.crossJoin(F.broadcast(cent_df))
+        .withColumn("__best", best)
+        .select(*[F.col(c) for c in df.columns], *out)
+    )
 
 
 def centroid_scores(
@@ -32,12 +85,15 @@ def centroid_scores(
 ) -> DataFrame:
     """Score every row against every coarse centroid via a BROADCAST
     n_cells-row centroid table (adds ``cell``, ``ccos``; caller applies
-    its argmax window). Replaces the unrolled per-cell
-    ``F.array(*[F.lit(x) ...])`` expression — 16 cells × 384 dims =
-    6,144 literal nodes of pure codegen/compile weight (VERDICT r3 #3:
-    the data work is milliseconds; plan compilation wasn't). The
-    broadcast nested-loop join emits the same n_cells rows per vector
-    the explode did, with a constant-size plan."""
+    its own ranking — the top-nprobe PROBE side of IVF, where all
+    n_cells scores are needed as rows; pure argmax assignment should
+    use ``assign_cells``, which never multiplies rows). Replaces the
+    unrolled per-cell ``F.array(*[F.lit(x) ...])`` expression — 16
+    cells × 384 dims = 6,144 literal nodes of pure codegen/compile
+    weight (VERDICT r3 #3: the data work is milliseconds; plan
+    compilation wasn't). The broadcast nested-loop join emits the same
+    n_cells rows per vector the explode did, with a constant-size
+    plan."""
     spark = df.sparkSession
     cent_df = spark.createDataFrame(
         [(c, [float(x) for x in v]) for c, v in enumerate(cents)],
@@ -234,26 +290,22 @@ def ivf_fixed_topk(
     ann_topk / ivf_topk): the probe ranking and the rescoring
     cross-join both assume a single query vector.
     """
-    from pyspark.sql import Window as W
-
     from docling_api_spark.functions.hashing import ivf_centroids
 
     cents = ivf_centroids(dim, n_cells)
 
-    def assign(df: DataFrame, vcol: str, out: str) -> DataFrame:
-        exploded = centroid_scores(df, cents, vcol, scale).withColumnRenamed(
-            "cell", out
-        )
-        w = W.partitionBy(id_col if out == "cell" else F.lit(1)).orderBy(
-            F.desc("ccos"), out
-        )
-        return exploded.withColumn("__rn", F.row_number().over(w))
-
-    indexed = assign(corpus, vec_col, "cell").filter(F.col("__rn") == 1).drop("__rn", "ccos")
+    # Corpus assignment is the zero-shuffle argmax (assign_cells) —
+    # the old per-id window shuffled every corpus vector n_cells×.
+    # The SINGLE query row keeps the exploded shape (its top-nprobe
+    # ranking needs all n_cells scores as rows, and one row × n_cells
+    # is free), ranked by orderBy+limit: TakeOrderedAndProject over 16
+    # rows, no window, no single-partition WindowExec warning.
+    indexed = assign_cells(corpus, cents, vec_col, scale, score_col=None)
     probes = (
-        assign(query, "qv", "qcell")
-        .filter(F.col("__rn") <= nprobe)
-        .select(F.col("qcell").alias("cell"))
+        centroid_scores(query, cents, "qv", scale)
+        .orderBy(F.desc("ccos"), "cell")
+        .limit(nprobe)
+        .select("cell")
     )
     cands = indexed.join(F.broadcast(probes), "cell")
     scored = cands.crossJoin(F.broadcast(query)).select(

@@ -387,23 +387,19 @@ def mutual_nn_pairs(spark, sf_dir):
 def centroid_label_purity(spark, sf_dir):
     """Per-cell majority-label purity over the md5 coarse quantizer.
 
-    Scale shape: one corpus pass against the 16-row broadcast centroid
-    table (constant-size plan — see operators/search.py:
-    centroid_scores), the per-vector argmax window partitions by
-    vec_id (no hot key possible), and everything after the assignment
-    runs on cell×label-sized aggregates."""
+    Scale shape: one corpus pass against the single-row broadcast
+    centroid grid with a ZERO-shuffle argmax (operators/search.py:
+    assign_cells — no row multiplication, no per-vec_id window sort),
+    and everything after the assignment runs on cell×label-sized
+    aggregates."""
     from pyspark.sql.window import Window
 
     from docling_api_spark.functions.hashing import ivf_centroids
-    from docling_api_spark.operators.search import centroid_scores
+    from docling_api_spark.operators.search import assign_cells
 
     e = load(spark, sf_dir, "embeddings")
-    scored = centroid_scores(e, ivf_centroids(DIM, 16), "embedding", 6)
-    w = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("cell"))
-    v = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "cell")
+    v = assign_cells(e, ivf_centroids(DIM, 16), "embedding", 6, score_col=None).select(
+        "vec_id", "label", "cell"
     )
     cl = v.groupBy("cell", "label").agg(F.count("*").alias("n"))
     cl = cl.persist()  # feeds both the per-cell argmax and the totals

@@ -230,3 +230,24 @@ def test_media_ref_integrity_single_kernel_pass(spark):
     kernels = set(re.findall(r"MapInPandas \((\d+)\)", plan))
     assert len(kernels) <= 1, f"kernel subtrees: {kernels}\n{plan}"
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_cell_assignment_never_windows_per_vector(spark):
+    """Coarse-quantizer cell ASSIGNMENT is the zero-shuffle argmax
+    (operators/search.py:assign_cells): a single-row broadcast of the
+    centroid grid + a let-bound transform/array_max/array_position —
+    no row multiplication, no per-vector row_number sort. The old
+    centroid_scores + window shape multiplied every corpus row
+    n_cells× and shuffled the multiplied rows (payload vector
+    included) through a per-id WindowExec — a full corpus-width
+    shuffle that exists solely to pick an argmax."""
+    # pure-assignment consumers: no window anywhere in the plan (the
+    # IVF query-probe side ranks its 16 rows via TakeOrderedAndProject)
+    for name in ("semdedup_survivors", "ivf_fixed_topk"):
+        plan = _plan(spark, name)
+        assert "Window" not in plan, f"{name}: window crept back in\n{plan}"
+    # purity keeps ONE legitimate window — majority label per CELL
+    # (16 keys over cell×label counts) — but never one per vector
+    plan = _plan(spark, "centroid_label_purity")
+    assert "windowspecdefinition(vec_id" not in plan, plan
+    assert plan.count("Window [") <= 1, plan
