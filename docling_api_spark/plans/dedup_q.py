@@ -636,12 +636,13 @@ def dedup_best_representative(spark, sf_dir):
     Scale shape: edges come from the verified MinHash-LSH pipeline
     (banded buckets, candidates-only verification — never all-pairs);
     labels propagate over narrow (id, label) rows; quality is a
-    codegen token count; the argmax is a window partitioned BY CLUSTER
-    (shuffle key = cluster label, partitions are clique-sized — no
-    global sort, no single-task window)."""
+    codegen token count; the argmax is ONE hash aggregate on the
+    cluster label (max_by + count with map-side partial aggregation —
+    each task collapses its members to one candidate row before the
+    shuffle), not a window: a per-cluster row_number would shuffle
+    EVERY member row and sort per key just to keep one."""
     from docling_api_spark.functions.hashing import tokens
     from docling_api_spark.operators.asof import connected_components
-    from pyspark.sql import Window as W
 
     corpus = dup_corpus(spark, sf_dir)
     pairs = dedup_minhash(corpus, threshold=0.8).select(
@@ -657,15 +658,20 @@ def dedup_best_representative(spark, sf_dir):
         F.col("lab.label").alias("cluster"),
         F.col("q.n_tokens").alias("n_tokens"),
     )
-    w = W.partitionBy("cluster").orderBy(F.desc("n_tokens"), "doc_id")
+    # argmax = max_by over (n_tokens DESC, doc_id ASC) — encoded as
+    # max of struct(n_tokens, -doc_id); doc_id is unique per cluster,
+    # so the ordering is total and the pick deterministic
+    best = F.max_by(
+        F.struct(F.col("doc_id"), F.col("n_tokens")),
+        F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id")),
+    )
     return (
-        m.withColumn("rn", F.row_number().over(w))
-        .withColumn("cnt", F.count("*").over(W.partitionBy("cluster")))
-        .filter(F.col("rn") == 1)
+        m.groupBy("cluster")
+        .agg(best.alias("rep"), F.count("*").alias("cnt"))
         .select(
             "cluster",
-            F.col("doc_id").alias("rep_id"),
-            F.col("n_tokens").alias("rep_tokens"),
+            F.col("rep.doc_id").alias("rep_id"),
+            F.col("rep.n_tokens").alias("rep_tokens"),
             F.col("cnt").cast("long").alias("n_members"),
         )
     )

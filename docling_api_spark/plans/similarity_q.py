@@ -318,8 +318,6 @@ def semdedup_survivors(spark, sf_dir):
 )
 def mutual_nn_pairs(spark, sf_dir):
     """Reciprocal-top-1 cosine pairs over the (capped) embeddings."""
-    from pyspark.sql import Window as W
-
     from docling_api_spark.functions.hashing import cosine
 
     e = (
@@ -333,12 +331,24 @@ def mutual_nn_pairs(spark, sf_dir):
         F.col("b.vec_id").alias("nb"),
         cosine(F.col("a.embedding"), F.col("b.embedding")).alias("sim"),
     )
-    w = W.partitionBy("id").orderBy(F.desc("sim"), "nb")
+    # top-1 per id = max_by over (sim DESC, nb ASC), one hash agg with
+    # map-side partial aggregation: the broadcast join emits all of an
+    # id's candidate rows in one task, so each task collapses them to
+    # a single row BEFORE the shuffle — a per-id row_number window
+    # would shuffle every candidate row and sort per key instead.
     # persist: the reciprocity self-join reads top1 from BOTH sides,
     # and each side would otherwise recompute all n^2 cosines + the
-    # per-id argmax window. Cached rows: one (id, nb, sim) per vector.
+    # per-id argmax. Cached rows: one (id, nb, sim) per vector.
     top1 = (
-        sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).persist()
+        sims.groupBy("id")
+        .agg(
+            F.max_by(
+                F.struct(F.col("nb"), F.col("sim")),
+                F.struct(F.col("sim"), (-F.col("nb")).alias("neg_nb")),
+            ).alias("t")
+        )
+        .select("id", F.col("t.nb").alias("nb"), F.col("t.sim").alias("sim"))
+        .persist()
     )
     x, y = top1.alias("x"), top1.alias("y")
     return (
