@@ -43,7 +43,11 @@ def curate_corpus(
     audit trail is what a production curation run reports; the curated
     corpus is ``.filter("kept")``.
     """
-    d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    # the input table is read by three subtrees (the content-hash
+    # groupBy, the exact-survivor semi join's left side, and the final
+    # audit assembly); in production it is a STORED table — the cache
+    # stands in for that storage, like the stage barriers below
+    d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).persist()
 
     # 1. exact dedup: survivor = min id per content hash
     exact_keep = dedup_exact(d, text_col="text", id_col="id").select(
@@ -51,13 +55,25 @@ def curate_corpus(
     )
     after_exact = d.join(exact_keep, "id", "left_semi")
 
+    # Stage-boundary persists: each stage's output is read by SEVERAL
+    # downstream subtrees (the minhash signature chain AND the anti
+    # join read after_exact; the line-dedup internals read after_near
+    # more than once). Composed lazily, every consumer re-inlines the
+    # whole upstream cascade — measured 940 parquet-scan nodes / 596
+    # Exchanges in the single executed plan of curation_pipeline_audit
+    # at sf0.1 before the barriers (runtime partially saved by
+    # ReusedExchange, but plan compile weight and the non-reused
+    # subtrees are real). A production cascade materializes each
+    # stage's table; the caches stand in for those tables.
+    after_exact = after_exact.persist()
+
     # 2. near-dup: larger id of each verified pair loses
     near_losers = (
         dedup_minhash(after_exact, text_col="text", id_col="id", threshold=near_threshold)
         .select(F.col("b").alias("id"))
         .distinct()
     )
-    after_near = after_exact.join(near_losers, "id", "left_anti")
+    after_near = after_exact.join(near_losers, "id", "left_anti").persist()
 
     # 3. line-level boilerplate removal (rebuilds text)
     cleaned = boilerplate_line_dedup(
