@@ -155,6 +155,7 @@ EXTENDED_R4 = [
     "c4_line_filters",
     "repetition_ngram_fractions",
     "multimodal_packing_plan",
+    "dedup_clusters_star",
 ]
 
 # FROZEN as of round 4: winnow_fingerprints + the heaviest round-3

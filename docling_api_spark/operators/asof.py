@@ -24,9 +24,11 @@ production dedup cascade runs AFTER pair generation (pairs → clusters
 join + one min-aggregation and labels travel one hop, so ``max_iter``
 must be ≥ the component diameter (dedup clusters are shallow — near-dup
 graphs are cliques-of-copies, diameter 1-2). At 10^12 nodes each
-iteration is a pair of key-partitioned shuffles; the published
-large-star/small-star optimization (O(log n) rounds on any topology)
-drops in here unchanged if deep chains ever appear.
+iteration is a pair of key-partitioned shuffles; on deep topologies
+use ``connected_components_star`` below — the alternating
+large-star/small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SOCC 2014), which converges in
+O(log^2 n) rounds regardless of component diameter.
 """
 
 from __future__ import annotations
@@ -146,7 +148,6 @@ def connected_components(
         .distinct()
         .select("id", F.col("id").alias("label"))
     )
-    prev = None
     prev_sum = None
     for _ in range(max_iter):
         prop = (
@@ -156,23 +157,28 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("label").alias("label"))
         )
-        nxt = prop.persist()
-        # ONE action per round: the label-sum agg both materializes
-        # this round's cache (truncating the lineage the next join
-        # replays) and decides the early exit. min-label propagation
-        # is monotone — every node's label can only decrease — so the
-        # exact (decimal-128, no bigint overflow at 10^12 ids) label
-        # sum is strictly decreasing until the fixpoint; an unchanged
-        # sum IS stability, with no per-round old⋈new comparison join.
-        # A stable fixpoint makes every later round a no-op, so
-        # exiting is label-identical (one-hop-per-round semantics
-        # unchanged, pinned by test_connected_components_*).
+        # Lineage truncation, not just caching: each round references
+        # `lab` TWICE (join + union), so composing rounds as plain
+        # lineage doubles the LOGICAL plan per round — Catalyst
+        # re-analysis OOMs the driver near round ~25 on deep graphs
+        # (found by tests/test_cc_star.py's equivalence sweep; persist
+        # caches data but does NOT shrink the plan tree). Non-eager
+        # localCheckpoint keeps ONE action per round: the label-sum agg
+        # below both materializes the checkpoint (truncating the plan
+        # the next join analyzes) and decides the early exit.
+        nxt = prop.localCheckpoint(eager=False)
+        # min-label propagation is monotone — every node's label can
+        # only decrease — so the exact (decimal-128, no bigint overflow
+        # at 10^12 ids) label sum is strictly decreasing until the
+        # fixpoint; an unchanged sum IS stability, with no per-round
+        # old⋈new comparison join. A stable fixpoint makes every later
+        # round a no-op, so exiting is label-identical
+        # (one-hop-per-round semantics unchanged, pinned by
+        # test_connected_components_*). Superseded round blocks are
+        # freed by the ContextCleaner when their Python refs drop.
         cur_sum = nxt.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
-        if prev is not None:
-            prev.unpersist()
-        prev = nxt
         lab = nxt
         if cur_sum is None or (prev_sum is not None and cur_sum == prev_sum):
             break  # empty endpoint set, or fixpoint reached
@@ -180,6 +186,115 @@ def connected_components(
     sym.unpersist()
     # isolated nodes keep their own id; ONE corpus-wide join total
     # (AQE broadcasts the label side when it is small enough)
+    return nodes.join(lab, "id", "left").select(
+        "id", F.coalesce("label", "id").alias("label")
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al. 2014): every node's
+    strictly-LARGER neighbors re-point at the minimum of its closed
+    neighborhood. Input/output are undirected edge SETS (orientation
+    free); symmetrization happens here so callers hold one copy."""
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.select("src", F.least(F.col("mn"), F.col("src")).alias("m"))
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge (larger → smaller),
+    then each node and its smaller neighbors all re-point at the
+    minimum of that closed smaller-neighborhood. Output edges are
+    oriented src > dst (parent pointers)."""
+    o = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+    )
+    j = o.join(o.groupBy("src").agg(F.min("dst").alias("m")), "src")
+    # (v, m) for every smaller neighbor v != m, plus (u, m) for the
+    # center itself (m < u always: m <= every smaller neighbor < u)
+    return (
+        j.filter(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .unionByName(j.select("src", F.col("m").alias("dst")))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    max_iter: int = 12,
+) -> DataFrame:
+    """``nodes(id)`` + undirected ``edges(src, dst)`` → ``(id, label)``
+    with label = MIN node id of the connected component — identical
+    contract to :func:`connected_components`, different round bound:
+    alternating large-star/small-star (Kiveris et al., SOCC 2014)
+    converges in O(log^2 n) rounds on ANY topology, where one-hop
+    min-label propagation needs diameter-many rounds. Use this variant
+    when the pair graph can contain long chains (e.g. near-dup edges
+    from sliding/shingled similarity, where A~B~C chains without A~C).
+
+    Scale shape: every round touches only the current edge set —
+    candidate-pairs-bounded, never corpus-wide — with two
+    key-partitioned hash shuffles (groupBy min + self-equijoin) and a
+    `distinct`. Each round ends in a ``localCheckpoint``: both
+    stars reference their input twice (aggregate + self-equijoin), so
+    composing rounds lineage-style grows the LOGICAL plan 4^rounds —
+    Catalyst re-analysis OOMs the driver near round 8 even on a
+    64-node toy graph (measured; the plan-blowup class of VERDICT r3
+    #1, hit in the analyzer instead of the executor). Truncating
+    lineage per round keeps every plan one-round deep; blocks are
+    executor-local and edge-graph-sized (GraphFrames' CC checkpoints
+    for the same reason). Stability is an EXACT set compare of
+    consecutive outputs (count + one-sided exceptAll on checkpointed
+    frames); a stable small-star output is a fixed point of both
+    stars, so early exit is label-identical. Isolated nodes join back
+    once at the end (same single corpus-wide join as
+    ``connected_components``, pinned by tests/test_cc_star.py)."""
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    prev: DataFrame | None = None
+    prev_cnt: int | None = None
+    for _ in range(max_iter):
+        # non-eager: the count below materializes the checkpoint, so
+        # each round is ONE action (+ a conditional exceptAll probe on
+        # two already-checkpointed, edge-graph-sized frames)
+        nxt = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        cur_cnt = nxt.count()
+        if prev is not None and cur_cnt == prev_cnt:
+            if nxt.exceptAll(prev).isEmpty():
+                e = nxt
+                break
+        prev, prev_cnt, e = nxt, cur_cnt, nxt
+    # converged star state: every non-min node points at its component
+    # min; groupBy-min is a no-op safety net for the max_iter cutoff
+    lab = (
+        e.groupBy("src")
+        .agg(F.min("dst").alias("label"))
+        .select(F.col("src").alias("id"), "label")
+    )
+    roots = lab.select(F.col("label").alias("id"), F.col("label")).distinct()
+    lab = lab.unionByName(roots)
+    # the final round's cache is left in place — it belongs to the
+    # returned plan (same policy as dedup_minhash); the registry entry
+    # clears caches between driver queries
     return nodes.join(lab, "id", "left").select(
         "id", F.coalesce("label", "id").alias("label")
     )
