@@ -457,6 +457,15 @@ def _scaling_child(sf_dir: str, cpus: str, repl: int) -> dict:
     extra = {
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
         "spark.driver.memory": "16g",
+        # Fault the whole heap in at JVM launch, OUTSIDE the timed
+        # region (same discipline as scripts/cluster_bench.py executor
+        # JVMs): this box's degraded-memory windows collapse the
+        # first-touch path specifically, and lazy heap growth otherwise
+        # lands that host-serialized cost inside the measured job —
+        # asymmetrically, since the wider level allocates faster.
+        # Healthy boxes are unaffected. (-Xmx comes from
+        # spark.driver.memory; only the floor is set here.)
+        "spark.driver.extraJavaOptions": "-Xms16g -XX:+AlwaysPreTouch",
     }
     if _os.path.isdir("/dev/shm"):
         extra["spark.local.dir"] = "/dev/shm/spark-bench-tmp"
