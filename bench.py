@@ -453,6 +453,7 @@ def _scaling_child(sf_dir: str, cpus: str, repl: int) -> dict:
     # threads pollute the spin measurement
     calibration = _cpu_calibration(int(cpus))
     membw = _membw_calibration(int(cpus))
+    freshtouch_pre = _membw_quick_gbps()
 
     extra = {
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
@@ -548,6 +549,15 @@ def _scaling_child(sf_dir: str, cpus: str, repl: int) -> dict:
         "mb_per_sec": round(n_bytes / 1e6 / elapsed, 2),
         "cpu_calibration": calibration,
         "membw_calibration_gbps": round(membw / 1e9, 2),
+        # first-touch fault-in bandwidth, pre-JVM and post-run: the
+        # box's degraded windows collapse THIS path specifically
+        # (0.01-1 GB/s vs 200+ healthy) while spin and copy
+        # calibrations stay near-normal — and wider levels fault in
+        # fresh pages (Python string allocation across N workers)
+        # proportionally faster, so a fault-in window deflates the
+        # wide leg's efficiency asymmetrically. Embedding both probes
+        # makes that attributable from the artifact alone.
+        "freshtouch_gbps": {"pre": freshtouch_pre, "post": _membw_quick_gbps()},
     }
 
 
