@@ -166,6 +166,12 @@ def connected_components(
         # localCheckpoint keeps ONE action per round: the label-sum agg
         # below both materializes the checkpoint (truncating the plan
         # the next join analyzes) and decides the early exit.
+        # Failure-semantics tradeoff: localCheckpoint blocks are
+        # executor-local with NO lineage, so on a real multi-executor
+        # cluster losing an executor mid-query fails the query instead
+        # of recomputing (GraphFrames' CC makes the same tradeoff);
+        # use reliable checkpoint() + a checkpoint dir if executor
+        # churn is expected.
         nxt = prop.localCheckpoint(eager=False)
         # min-label propagation is monotone — every node's label can
         # only decrease — so the exact (decimal-128, no bigint overflow
@@ -284,17 +290,33 @@ def connected_components_star(
                 break
         prev, prev_cnt, e = nxt, cur_cnt, nxt
     # converged star state: every non-min node points at its component
-    # min; groupBy-min is a no-op safety net for the max_iter cutoff
+    # min (groupBy-min collapses any multi-parent rows). Component
+    # minima never appear as src at convergence, so synthesize their
+    # (m, m) self-rows — but ONLY for labels not already present as
+    # ids: on the max_iter cutoff path a node can still be src with a
+    # stale label while also being some other node's label, and an
+    # unconditional roots-union would emit that id twice with
+    # conflicting labels. With the anti-join, cutoff degrades to
+    # stale-but-unique labels — one row per id, same contract as the
+    # propagation variant (pinned by tests/test_cc_star.py).
     lab = (
         e.groupBy("src")
         .agg(F.min("dst").alias("label"))
         .select(F.col("src").alias("id"), "label")
     )
-    roots = lab.select(F.col("label").alias("id"), F.col("label")).distinct()
+    roots = (
+        lab.select(F.col("label").alias("id"))
+        .distinct()
+        .join(lab.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("label"))
+    )
     lab = lab.unionByName(roots)
-    # the final round's cache is left in place — it belongs to the
-    # returned plan (same policy as dedup_minhash); the registry entry
-    # clears caches between driver queries
+    # the final round's localCheckpoint blocks belong to the returned
+    # plan; superseded rounds' blocks are freed when their Python refs
+    # drop (py4j finalizer → ContextCleaner). NOTE:
+    # spark.catalog.clearCache() does NOT free checkpoint RDD blocks —
+    # only InMemoryRelations — so long sessions reclaim them via GC,
+    # not the registry's between-query cache clear.
     return nodes.join(lab, "id", "left").select(
         "id", F.coalesce("label", "id").alias("label")
     )

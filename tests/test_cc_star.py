@@ -78,3 +78,16 @@ def test_star_reversed_and_duplicate_edges(spark):
     e = _edges(spark, [(2, 1), (1, 2), (2, 3), (3, 2), (2, 3)])
     n = _nodes(spark, [1, 2, 3])
     assert _labels(connected_components_star(e, n)) == {1: 1, 2: 1, 3: 1}
+
+
+def test_star_cutoff_emits_one_row_per_id(spark):
+    # max_iter cutoff path (ADVICE r4): before the fix, a node could
+    # appear both as src (stale label) and as a synthesized root —
+    # an 8-node chain cut at max_iter=1 emitted 13 rows for 8 nodes.
+    # Contract: one row per id, labels stale-but-unique at cutoff.
+    ids = list(range(1, 9))
+    e = _edges(spark, [(i, i + 1) for i in ids[:-1]])
+    n = _nodes(spark, ids)
+    rows = connected_components_star(e, n, max_iter=1).collect()
+    assert len(rows) == len(ids)
+    assert sorted(r["id"] for r in rows) == ids
