@@ -186,7 +186,7 @@ def running_total_window(spark, sf_dir):
 )
 def dedup_clusters(spark, sf_dir):
     from docling_api_spark.functions.hashing import md5_long
-    from docling_api_spark.operators.asof import connected_components
+    from docling_api_spark.operators.asof import connected_components_star
     from docling_api_spark.plans.dedup_q import dup_corpus
 
     corpus = dup_corpus(spark, sf_dir)
@@ -209,7 +209,10 @@ def dedup_clusters(spark, sf_dir):
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     )
     nodes = corpus.select(F.col("doc_id").alias("id"))
-    lab = connected_components(pairs, nodes, max_iter=3)
+    # diameter-independent star CC: exact components regardless of
+    # chain length (the transitive-closure oracle's semantics), fewer
+    # fixed-cost rounds than one-hop propagation on the same graph
+    lab = connected_components_star(pairs, nodes)
     return lab.select(
         F.col("id").alias("doc_id"),
         F.col("label").alias("cluster"),
