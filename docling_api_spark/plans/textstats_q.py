@@ -746,10 +746,14 @@ def pmi_collocations(spark, sf_dir):
 
     Scale shape: one pass explodes adjacent-token pairs (zip_with of
     two slices — no index re-evaluation), bigram and unigram counts
-    are two narrow hash aggregates, the scoring join touches only the
-    vocab-sized count tables (broadcast — a natural-language unigram
-    vocab is ~10^7 even at 100 TB), and the final top-20 is a
-    TakeOrdered, never a global sort."""
+    are two narrow hash aggregates, and the scoring join shuffles on
+    the term key: the unigram table is an unbounded-cardinality
+    aggregate (a web-scale token vocab is NOT ~10^7 — junk tokens
+    push it into the billions), so it must never be force-broadcast;
+    AQE still converts to broadcast at runtime when the measured size
+    is actually small. The final top-20 is a TakeOrdered, never a
+    global sort. (VERDICT r4 ask #5; pinned by
+    tests/test_plan_contracts.py::test_vocab_joins_not_force_broadcast.)"""
     d = load(spark, sf_dir, "documents")
     tok = d.select(tokens(F.col("text")).alias("tok"))
     tok = tok.persist()  # feeds both the bigram and unigram aggregates
@@ -768,8 +772,8 @@ def pmi_collocations(spark, sf_dir):
     )
     scored = (
         cxy.filter(F.col("c_xy") >= 5)
-        .join(F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))), "w1")
-        .join(F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))), "w2")
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
         .select(
             "w1", "w2", "c_xy", "c_x", "c_y",
             F.expr("c_xy * 1000000000L div (c_x * c_y)").alias("pmi_scaled"),
@@ -810,9 +814,13 @@ def tfidf_top_terms(spark, sf_dir):
 
     Scale shape: term frequencies are one explode + hash agg on
     (doc_id, term); document frequencies aggregate the tf table (never
-    re-scan the corpus); the idf join broadcasts the vocab-sized df
-    table; the per-doc top-3 window partitions by doc_id, so no hot
-    key exists and text never shuffles."""
+    re-scan the corpus); the idf join shuffles on the term key — the
+    df table is an unbounded-cardinality aggregate (web-scale vocab),
+    so it is never force-broadcast; AQE may still broadcast it at
+    runtime when measured-small. The single-row n_docs aggregate IS
+    broadcast (bounded by construction). The per-doc top-3 window
+    partitions by doc_id, so no hot key exists and text never
+    shuffles. (VERDICT r4 ask #5.)"""
     from pyspark.sql.window import Window
 
     d = load(spark, sf_dir, "documents")
@@ -825,7 +833,7 @@ def tfidf_top_terms(spark, sf_dir):
     df_tab = tf.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
     n = d.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_tab), "w")
+        tf.join(df_tab, "w")
         .crossJoin(F.broadcast(n))
         .withColumn("score", F.expr("tf * ((n_docs * 1000000L) div df)"))
     )

@@ -251,3 +251,23 @@ def test_cell_assignment_never_windows_per_vector(spark):
     plan = _plan(spark, "centroid_label_purity")
     assert "windowspecdefinition(vec_id" not in plan, plan
     assert plan.count("Window [") <= 1, plan
+
+
+def test_vocab_joins_not_force_broadcast(spark):
+    """pmi_collocations / tfidf_top_terms score against unigram/df
+    tables that are UNBOUNDED-cardinality aggregates (a web-scale
+    token vocab is billions of junk tokens, not ~10^7): an explicit
+    F.broadcast() hint on them overrides the size-based planner
+    unconditionally and ships the whole vocab to every executor at
+    100 TB (VERDICT r4 ask #5). The contract: no broadcast HINT on
+    the vocab side — the planner/AQE may still size-gate-broadcast at
+    gate scale, which is the wanted behavior. tfidf's single allowed
+    hint is the one-row n_docs aggregate (bounded by construction)."""
+    import __spark_entry__ as E
+
+    allowed = {"pmi_collocations": 0, "tfidf_top_terms": 1}
+    for name, n_allowed in allowed.items():
+        df = E.queries()[name](spark, SF)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        n_hints = analyzed.count("ResolvedHint")
+        assert n_hints <= n_allowed, (name, n_hints, analyzed)
