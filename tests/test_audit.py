@@ -1,0 +1,138 @@
+"""Post-extract invariant audits (operators/audit.py): clean output
+passes; injected span-order and media-ref violations are detected and
+fail the production job (VERDICT r4 ask #7)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_api_spark.operators.audit import (
+    ExtractionAuditError,
+    assert_extraction_invariants,
+    media_ref_violations,
+    span_order_violations,
+)
+from docling_api_spark.operators.extract import extract
+from docling_api_spark.sources.catalog import load, wrap_documents_as_rich_corpus
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = "/root/testdata/sf0.001"
+
+_SPAN = "kind string, text string, media_ref string, `order` int"
+
+
+def _doc(spark, doc_id, spans):
+    return spark.createDataFrame(
+        [(doc_id, spans)], f"doc_id long, spans array<struct<{_SPAN}>>"
+    )
+
+
+def test_clean_extraction_passes(spark):
+    ext = extract(
+        wrap_documents_as_rich_corpus(load(spark, SF_DIR, "documents").limit(40))
+    )
+    counts = assert_extraction_invariants(ext)
+    assert counts == {"span_order_violations": 0, "media_ref_violations": 0}
+
+
+def test_order_gap_detected(spark):
+    bad = _doc(
+        spark, 7,
+        [("text", "a", "", 0), ("text", "b", "", 2)],  # gap: order 1 missing
+    )
+    assert span_order_violations(bad).count() == 1
+    with pytest.raises(ExtractionAuditError, match="span-order"):
+        assert_extraction_invariants(bad)
+
+
+def test_duplicate_order_detected(spark):
+    bad = _doc(
+        spark, 8,
+        [("text", "a", "", 0), ("text", "b", "", 0)],
+    )
+    assert span_order_violations(bad).count() == 1
+
+
+def test_media_ref_violations_detected(spark):
+    bad = _doc(
+        spark, 9,
+        [
+            ("text", "a", "9/m0", 0),   # ref on a non-media span
+            ("image", "", "", 1),        # media span missing its ref
+        ],
+    )
+    v = {r["violation"] for r in media_ref_violations(bad).collect()}
+    assert v == {"ref_on_non_media_span", "media_span_missing_ref"}
+    with pytest.raises(ExtractionAuditError, match="media-ref"):
+        assert_extraction_invariants(bad)
+
+
+def test_cross_doc_ref_sharing_detected(spark):
+    a = _doc(spark, 10, [("image", "", "shared/m0", 0)])
+    b = _doc(spark, 11, [("image", "", "shared/m0", 0)])
+    v = media_ref_violations(a.unionByName(b))
+    assert [r["violation"] for r in v.collect()] == ["ref_shared_across_docs"]
+
+
+def test_resumed_job_fails_on_corrupted_table(spark, tmp_path):
+    """Job-level enforcement: extract cleanly, corrupt one bucket's
+    parquet (introduce an order gap), rerun the job with every bucket
+    already committed — extraction is skipped, the audit reads the
+    materialized table, and the job must exit non-zero."""
+    from docling_api_spark.sources.catalog import wrap_documents_as_corpus
+
+    corpus_path = str(tmp_path / "corpus")
+    wrap_documents_as_corpus(load(spark, SF_DIR, "documents").limit(30)).write.parquet(
+        corpus_path
+    )
+    out_path = str(tmp_path / "extracted")
+
+    def run():
+        return subprocess.run(
+            [
+                sys.executable, os.path.join(ROOT, "jobs", "run_extract.py"),
+                "--input", corpus_path, "--output", out_path,
+                "--num-buckets", "4", "--batch-buckets", "4",
+            ],
+            capture_output=True, text=True, cwd=str(tmp_path),
+            env={**os.environ, "PYTHONPATH": ROOT}, timeout=300,
+        )
+
+    first = run()
+    assert first.returncode == 0, first.stderr[-2000:]
+    assert json.loads(first.stdout.strip().splitlines()[-1])["audit"] == {
+        "span_order_violations": 0, "media_ref_violations": 0,
+    }
+
+    # corrupt bucket=0 in place: shift every span order up by one
+    part = os.path.join(out_path, "bucket=0")
+    good = spark.read.parquet(part)
+    corrupted = good.withColumn(
+        "spans",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"), s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                (s["order"] + 1).alias("order"),
+            ),
+        ),
+    )
+    corrupted.toPandas()  # materialize before the overwrite below
+    tmp_part = str(tmp_path / "bucket0_fixed")
+    corrupted.write.mode("overwrite").parquet(tmp_part)
+    import shutil
+
+    shutil.rmtree(part)
+    shutil.copytree(tmp_part, part)
+
+    second = run()
+    assert second.returncode != 0
+    assert "ExtractionAuditError" in second.stderr
+    assert "span-order" in second.stderr
