@@ -51,79 +51,62 @@ def query(name: str, oracle: str | None = None, prio: int = 50):
     return deco
 
 
-# --- Round-4 driver-prefix plan -------------------------------------------
-# The driver checks the first 50 registry entries each round. Slot
-# budget (1 + 2 + 15 + 13 + 17 + 2 = 50):
-#   5  — cheapest query first (absorbs session warmup)
-#   6  — the two registry entries that have NEVER had a driver row
-#        (both have locally-green oracles; VERDICT r3 ask #3), plus
-#        the fifteen queries ADDED in round 4 (first proof beats a
-#        third refresh of an r1-green row — the simplest stale-r1
-#        expressions moved out to make room)
-#   7  — every query whose implementation or oracle changed in round 4
-#        (winnow Generate fix, broadcast centroids, endpoint-only CC,
-#        MG single-pass total, zorder bit-exact mask, mutual_nn oracle
-#        dim, streaming timeout handling) — each needs a fresh row ON
-#        THE NEW CODE
-#   8  — every query whose latest driver row is from round 1 (32 of
-#        them): three-round-old evidence refreshes before twice-
-#        checked r2/r3 rows get a third pass
-#   9  — two r2-stale picks whose operators round 4 touched indirectly
-#        (dedup.py / search.py edits)
-#   60 — checked green in r2/r3 on substantially current code
-_R4_NEVER = frozenset({
-    "dataset_split_stats", "embedding_quantize_int8",
-    # round-4 additions (never existed before this round)
-    "domain_frequency_cap", "group_leakage_split", "pmi_collocations",
-    "centroid_label_purity", "tfidf_top_terms", "embedding_dim_health",
-    "incremental_near_dup", "ngram_diversity_stats",
-    "streaming_incremental_dedup",
-    "span_order_audit", "media_ref_integrity", "c4_line_filters",
-    "repetition_ngram_fractions", "checkpoint_lineage_audit",
-    "multimodal_packing_plan",
+# --- Round-5 driver-prefix plan -------------------------------------------
+# Slot budget (1 + 4 + 5 + 15 + 25 = 50):
+#   5 — cheapest query first (absorbs session warmup)
+#   6 — the four entries that have NEVER had a driver row: the two
+#       late-round-4 additions (VERDICT r4 ask #2; both parity-green
+#       locally since r4) plus the two by-design rows-only entries
+#       (ivf_ann_topk, chunk_documents_hybrid) so even their weaker
+#       rows-only check gets recorded once
+#   7 — every query whose implementation or oracle changed in round 5
+#       (star-CC wiring, the mutual_nn dedup-guard fix, vocab-join
+#       de-broadcast, percentile-cutoff CCNet buckets) — each needs a
+#       fresh row ON THE NEW CODE
+#   8 — all fifteen queries whose latest driver row is from round 1
+#   9 — twenty-five round-2-stale picks, favoring the extraction /
+#       render / media / search / dedup families over single-
+#       expression scan-and-window gates (which stay r2-green)
+#  60 — checked green in r3/r4 on substantially current code
+_R5_NEVER = frozenset({
+    "dedup_clusters_star", "ccnet_perplexity_buckets",
+    "ivf_ann_topk", "chunk_documents_hybrid",
 })
-_R4_CHANGED = frozenset({
-    "winnow_fingerprints", "winnow_dup_pairs", "content_defined_chunks",
-    "ivf_fixed_topk", "semdedup_survivors", "dedup_clusters",
-    "dedup_best_representative", "mutual_nn_pairs", "zorder_layout_stats",
-    "heavy_hitters_sketch", "streaming_sessionize",
-    "streaming_windowed_metrics", "streaming_exact_dedup",
+_R5_CHANGED = frozenset({
+    "dedup_clusters", "dedup_best_representative", "mutual_nn_pairs",
+    "tfidf_top_terms", "pmi_collocations",
 })
-_R4_STALE_R1 = frozenset({
-    # bool_predicate / pagination / file_extension / score_from_distance
-    # / conjunctive_filters / json_extract / set_except /
-    # lexical_overlap_rerank / dedup_exact moved out to fund the nine
-    # round-4 first-proof slots: single-expression scan/set queries
-    # (and dedup_exact, whose hash-groupBy is re-proven inside the
-    # cascade gate every round) — the least likely r1-green rows to
-    # have regressed. per_group_counts / semi_join_exists / topk_global
-    # / rollup_status_priority / sketch_value_quantiles /
-    # min_cost_supplier moved out late-round to fund first-proof
-    # slots for the six audit/packing
-    # queries added after the original budget (same policy: trivial
-    # single-shuffle gates, r1-green, operators untouched since).
-    "join_fact_dim", "join_three_dims", "anti_join_add_if_absent",
-    "tpch_q1_style", "topk_per_group",
-    "overfetch_rescore_trim", "rrf_fusion",
-    "salted_skew_join", "windowed_event_counts", "chunk_documents",
-    "dedup_minhash_pairs", "ngram_jaccard_ref",
-    "simhash_dup_pairs", "media_decode_dims", "extract_span_counts",
-    "extract_rich_spans",
-    "sketch_distinct_users",
+_R5_STALE_R1 = frozenset({
+    "bool_predicate", "conjunctive_filters", "dedup_exact",
+    "file_extension", "json_extract", "lexical_overlap_rerank",
+    "min_cost_supplier", "pagination", "per_group_counts",
+    "rollup_status_priority", "score_from_distance", "semi_join_exists",
+    "set_except", "sketch_value_quantiles", "topk_global",
 })
-_R4_STALE_R2_PICKS = frozenset({"dedup_cascade_survivors", "knn_cosine_topk"})
+_R5_STALE_R2_PICKS = frozenset({
+    "ann_lsh_topk", "asof_click_attribution", "bm25_rank",
+    "doc_embedding_dup_pairs", "embedding_dup_pairs",
+    "extract_docx_roundtrip", "extract_error_rows",
+    "extract_html_roundtrip", "extract_media_sidecar",
+    "extract_metrics", "extract_pdf_layout", "extract_pptx_roundtrip",
+    "extract_xlsx_roundtrip", "media_resize_plan", "ocr_dispatch",
+    "pdf_media_bbox", "pdf_per_page_export", "per_page_export",
+    "quality_filter_curation", "render_dispatch", "render_json_export",
+    "render_markdown_rich", "search_pipeline", "video_frame_plan",
+    "vocab_heavy_hitters",
+})
 
 
 def _round_prio(n: str) -> int:
     if _PRIO[n] <= 5:
         return _PRIO[n]
-    if n in _R4_NEVER:
+    if n in _R5_NEVER:
         return 6
-    if n in _R4_CHANGED:
+    if n in _R5_CHANGED:
         return 7
-    if n in _R4_STALE_R1:
+    if n in _R5_STALE_R1:
         return 8
-    if n in _R4_STALE_R2_PICKS:
+    if n in _R5_STALE_R2_PICKS:
         return 9
     return 60
 

@@ -111,33 +111,34 @@ def test_parity_survives_foreign_session_timezone(spark, name):
 
 
 def test_registry_priority_ordering():
-    """The driver checks a prefix of the registry (r1-r3 evidence: each
+    """The driver checks a prefix of the registry (r1-r4 evidence: each
     CORRECTNESS file holds exactly the first 50 entries), so iteration
-    order is a correctness-evidence contract. Round-4 plan: warmup
-    absorber first, then the never-driver-checked entries (the two
-    r1-r3 leftovers + the four round-4 additions), then every query
-    whose code or oracle changed in round 4, then every query whose
-    latest driver row is from round 1, then two r2-stale picks over
-    the round-4-touched operators (exactly 50)."""
+    order is a correctness-evidence contract. Round-5 plan: warmup
+    absorber first, then the four never-driver-checked entries (the
+    two late-r4 additions + the two by-design rows-only entries), then
+    every query whose code or oracle changed in round 5, then every
+    query whose latest driver row is from round 1, then twenty-five
+    r2-stale picks (exactly 50)."""
     from docling_api_spark.plans.registry import (
-        _R4_CHANGED,
-        _R4_NEVER,
-        _R4_STALE_R1,
-        _R4_STALE_R2_PICKS,
+        _R5_CHANGED,
+        _R5_NEVER,
+        _R5_STALE_R1,
+        _R5_STALE_R2_PICKS,
     )
 
     names = list(_QUERIES)
     assert names[0] == "token_count_bpe"  # prio 5: absorbs session warmup
-    a = 1 + len(_R4_NEVER)
-    b = a + len(_R4_CHANGED)
-    c = b + len(_R4_STALE_R1)
-    assert set(names[1:a]) == _R4_NEVER
-    assert set(names[a:b]) == _R4_CHANGED
-    assert set(names[b:c]) == _R4_STALE_R1
-    assert set(names[c : c + 2]) == _R4_STALE_R2_PICKS
+    a = 1 + len(_R5_NEVER)
+    b = a + len(_R5_CHANGED)
+    c = b + len(_R5_STALE_R1)
+    d = c + len(_R5_STALE_R2_PICKS)
+    assert set(names[1:a]) == _R5_NEVER
+    assert set(names[a:b]) == _R5_CHANGED
+    assert set(names[b:c]) == _R5_STALE_R1
+    assert set(names[c:d]) == _R5_STALE_R2_PICKS
     assert (
-        1 + len(_R4_NEVER) + len(_R4_CHANGED)
-        + len(_R4_STALE_R1) + len(_R4_STALE_R2_PICKS)
+        1 + len(_R5_NEVER) + len(_R5_CHANGED)
+        + len(_R5_STALE_R1) + len(_R5_STALE_R2_PICKS)
         == 50
     )
     # every oracle key is a registered query, same relative order
