@@ -248,6 +248,7 @@ def connected_components_star(
     edges: DataFrame,
     nodes: DataFrame,
     max_iter: int = 12,
+    stats: dict | None = None,
 ) -> DataFrame:
     """``nodes(id)`` + undirected ``edges(src, dst)`` → ``(id, label)``
     with label = MIN node id of the connected component — identical
@@ -278,17 +279,24 @@ def connected_components_star(
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     prev: DataFrame | None = None
     prev_cnt: int | None = None
+    rounds = 0
     for _ in range(max_iter):
         # non-eager: the count below materializes the checkpoint, so
         # each round is ONE action (+ a conditional exceptAll probe on
         # two already-checkpointed, edge-graph-sized frames)
         nxt = _small_star(_large_star(e)).localCheckpoint(eager=False)
         cur_cnt = nxt.count()
+        rounds += 1
         if prev is not None and cur_cnt == prev_cnt:
             if nxt.exceptAll(prev).isEmpty():
                 e = nxt
                 break
         prev, prev_cnt, e = nxt, cur_cnt, nxt
+    if stats is not None:
+        # observability for the round-count contract: callers assert
+        # clique-shaped graphs (the dedup-cluster case) close in ≤3
+        # rounds including the stability-detect round
+        stats["rounds"] = rounds
     # converged star state: every non-min node points at its component
     # min (groupBy-min collapses any multi-parent rows). Component
     # minima never appear as src at convergence, so synthesize their

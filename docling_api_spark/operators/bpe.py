@@ -4,7 +4,11 @@ engine's token surface into a *learned* subword vocabulary.
 
 Scale shape (the part that matters at 100 TB): the corpus is read
 ONCE, collapsing to a word-frequency table that is vocab-sized (Heaps'
-law: ~10^6 rows for a 10^12-doc corpus — broadcastable). Every merge
+law: ~10^6 rows for a 10^12-doc corpus). No stage force-broadcasts
+that table (r4 ask #5 audit: joins on it shuffle on the word key;
+only per-iteration argmax scalars reach the driver), so a junk-token
+vocab blowup degrades to bigger shuffles, never a broadcast OOM.
+Every merge
 iteration then runs on that small weighted table: one explode+agg for
 pair counts, one argmax row to the driver (the merge decision is a
 single scalar triple — the same driver-coordination shape as a KMeans

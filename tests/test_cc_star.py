@@ -91,3 +91,21 @@ def test_star_cutoff_emits_one_row_per_id(spark):
     rows = connected_components_star(e, n, max_iter=1).collect()
     assert len(rows) == len(ids)
     assert sorted(r["id"] for r in rows) == ids
+
+
+def test_star_round_count_bounded_on_cliques(spark):
+    # dedup cluster graphs are (near-)cliques: the alternating stars
+    # must close them in <=3 rounds (1-2 to converge + 1 to detect
+    # stability) — the fixed per-round job cost is what the star CC
+    # swap in dedup_best_representative/dedup_clusters buys back
+    # (VERDICT r4 ask #4 round-count contract).
+    pairs = []
+    for base in (0, 100, 200):
+        ids = [base + i for i in range(5)]
+        pairs += [(a, b) for a in ids for b in ids if a < b]
+    e = _edges(spark, pairs)
+    n = _nodes(spark, sorted({x for p in pairs for x in p}))
+    stats = {}
+    lab = _labels(connected_components_star(e, n, stats=stats))
+    assert stats["rounds"] <= 3
+    assert lab == {base + i: base for base in (0, 100, 200) for i in range(5)}
