@@ -12,8 +12,9 @@ write, manifest/data divergence) can never publish silently.
 Scale shape: each audit is one narrow explode + a doc-keyed hash
 aggregate (partial+final), plus — for the media audit — one anti-join
 on the media_ref key. Text never rides a shuffle; violation frames are
-empty in the healthy case, so the ``limit(k).collect()`` sampling the
-error message does no meaningful driver work.
+empty in the healthy case, so the bounded limit(k) sample feeding the
+error message does no meaningful driver work (and only runs when the
+job is about to abort — see the guard-exempt pragma).
 """
 
 from __future__ import annotations
@@ -96,9 +97,9 @@ def assert_extraction_invariants(extracted: DataFrame, sample: int = 5) -> dict:
     if n_order or n_media:
         examples = []
         if n_order:
-            examples += [f"span_order {r.asDict()}" for r in order_bad.limit(sample).collect()]
+            examples += [f"span_order {r.asDict()}" for r in order_bad.limit(sample).collect()]  # guard-exempt: bounded-error-sample
         if n_media:
-            examples += [f"media_ref {r.asDict()}" for r in media_bad.limit(sample).collect()]
+            examples += [f"media_ref {r.asDict()}" for r in media_bad.limit(sample).collect()]  # guard-exempt: bounded-error-sample
         raise ExtractionAuditError(
             f"extraction output violates invariants: {n_order} span-order, "
             f"{n_media} media-ref; examples: " + "; ".join(examples)

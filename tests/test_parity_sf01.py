@@ -4,9 +4,10 @@ events). Slow (~3 min) and therefore opt-in:
 
     SPARK_GRAFT_PARITY_SF01=1 python -m pytest tests/test_parity_sf01.py -q
 
-The five skips are the O(n²) brute-force ground-truth oracles —
-infeasible in the oracle engine at this size by design, not Spark
-limits (their semantics are already gated at sf0.01).
+The skipped names in QUADRATIC_ORACLES are the O(n²) brute-force
+ground-truth oracles — infeasible in the oracle engine at this size
+by design, not Spark limits (their semantics are already gated at
+sf0.01).
 """
 
 from __future__ import annotations
