@@ -270,7 +270,10 @@ def connected_components_star(
     #1, hit in the analyzer instead of the executor). Truncating
     lineage per round keeps every plan one-round deep; blocks are
     executor-local and edge-graph-sized (GraphFrames' CC checkpoints
-    for the same reason). Stability is an EXACT set compare of
+    for the same reason). Failure semantics: no lineage means losing
+    an executor mid-query fails the query instead of recomputing —
+    use reliable checkpoint() + a checkpoint dir on clusters with
+    expected executor churn. Stability is an EXACT set compare of
     consecutive outputs (count + one-sided exceptAll on checkpointed
     frames); a stable small-star output is a fixed point of both
     stars, so early exit is label-identical. Isolated nodes join back
