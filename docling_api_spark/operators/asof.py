@@ -280,6 +280,14 @@ def connected_components_star(
     once at the end (same single corpus-wide join as
     ``connected_components``, pinned by tests/test_cc_star.py)."""
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    # Round 1 reads `e` up to four times (each star references its
+    # input twice: aggregate + self-equijoin), and `e` is typically
+    # the OUTPUT of an expensive pair pipeline (MinHash verify, hash
+    # self-join) — without this cache that upstream evaluates once per
+    # reference (same class as the propagation variant's sym.persist).
+    # Rounds ≥2 read checkpointed frames, so only round 1 needs it.
+    e = e.persist()
+    first_input = e
     prev: DataFrame | None = None
     prev_cnt: int | None = None
     rounds = 0
@@ -295,6 +303,7 @@ def connected_components_star(
                 e = nxt
                 break
         prev, prev_cnt, e = nxt, cur_cnt, nxt
+    first_input.unpersist()
     if stats is not None:
         # observability for the round-count contract: callers assert
         # clique-shaped graphs (the dedup-cluster case) close in ≤3
