@@ -638,10 +638,12 @@ def group_leakage_split(spark, sf_dir):
     # CCNet's actual selection mechanism (the step after the LM score
     # bigram_lm_surprisal computes): docs are bucketed into per-LANGUAGE
     # perplexity terciles — head/middle/tail — and downstream pipelines
-    # keep head(+middle). Tercile assignment is RANK-based integer
-    # arithmetic (r*3 vs n, n+r ties broken by doc_id), not interpolated
-    # quantiles, so the bucket edge is bit-reproducible across engines —
-    # no float cutoff to disagree about.
+    # keep head(+middle). Tercile assignment is by cutoff VALUE: the
+    # oracle derives c1/c2 as the m at ranks ceil(n/3)/ceil(2n/3) —
+    # exactly the element percentile_approx's exact mode returns —
+    # then assigns m <= c, so the Spark sketch path matches
+    # bit-for-bit at gate scale and boundary ties land wholly in the
+    # lower bucket on both engines (no doc_id tie-break needed).
     oracle=f"""
         WITH base AS (SELECT doc_id, lang, {S.toks("text")} AS t FROM documents),
         uc AS (SELECT tok, COUNT(*) AS cnt
