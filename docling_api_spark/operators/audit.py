@@ -28,13 +28,21 @@ class ExtractionAuditError(RuntimeError):
 
 
 def _spans_flat(extracted: DataFrame) -> DataFrame:
+    # NULL-harden every audited field: the engine's convention is
+    # empty-string media_ref and dense non-null order, but this module
+    # audits the MATERIALIZED table, where a corrupt/partial write can
+    # surface NULLs the schema technically allows. Without coalesce a
+    # NULL makes the violation predicates evaluate to NULL and the
+    # filter silently drops the row — e.g. a doc whose every span has
+    # NULL `order` would PASS the density check. Map NULL order to -1
+    # (fails min==0) and NULL kind/media_ref to sentinel/"".
     return extracted.select(
         "doc_id", F.explode("spans").alias("s")
     ).select(
         "doc_id",
-        F.col("s.kind").alias("kind"),
-        F.col("s.media_ref").alias("media_ref"),
-        F.col("s.order").alias("ord"),
+        F.coalesce(F.col("s.kind"), F.lit("<null-kind>")).alias("kind"),
+        F.coalesce(F.col("s.media_ref"), F.lit("")).alias("media_ref"),
+        F.coalesce(F.col("s.order"), F.lit(-1)).alias("ord"),
     )
 
 

@@ -59,6 +59,26 @@ def test_duplicate_order_detected(spark):
     assert span_order_violations(bad).count() == 1
 
 
+def test_null_order_corruption_detected(spark):
+    """NULL-hardening: a doc whose spans ALL have NULL `order` must be
+    flagged — without coalesce the density predicate evaluates to NULL
+    and the filter silently passes the doc."""
+    bad = _doc(spark, 12, [("text", "a", "", None), ("text", "b", "", None)])
+    assert span_order_violations(bad).count() == 1
+    # mixed null + valid order is likewise a violation
+    mixed = _doc(spark, 13, [("text", "a", "", 0), ("text", "b", "", None)])
+    assert span_order_violations(mixed).count() == 1
+
+
+def test_null_media_ref_treated_as_empty(spark):
+    """NULL media_ref audits like the engine's empty-string convention:
+    a media span with NULL ref is a missing-ref violation; a text span
+    with NULL ref is clean."""
+    bad = _doc(spark, 14, [("image", "", None, 0), ("text", "a", None, 1)])
+    v = media_ref_violations(bad).collect()
+    assert [r["violation"] for r in v] == ["media_span_missing_ref"]
+
+
 def test_media_ref_violations_detected(spark):
     bad = _doc(
         spark, 9,
