@@ -290,11 +290,20 @@ def extract_html(markup: str, media_prefix: str = "") -> list[dict]:
 
         # closing tag
         if prune_depth > 0:
-            if prune_stack and tag == prune_stack[-1]:
-                prune_stack.pop()
-                prune_depth -= 1
-            elif tag in _PRUNE_TAGS:
-                prune_depth = max(0, prune_depth - 1)
+            # pop up to and including the nearest matching open tag —
+            # HTML auto-close semantics. Anything shallower (e.g. an
+            # unclosed <p> inside <div class="ad">...</div>) closes
+            # implicitly with its container; without this, a single
+            # unclosed tag inside a pruned subtree left prune_depth
+            # stuck > 0 and silently swallowed the REST of the
+            # document (real-web HTML is full of unclosed <p>/<li>).
+            # A stray close that matches nothing open stays pruned.
+            if tag in prune_stack:
+                while prune_stack:
+                    popped = prune_stack.pop()
+                    prune_depth -= 1
+                    if popped == tag:
+                        break
             continue
         if tag == "a":
             anchor_depth = max(0, anchor_depth - 1)

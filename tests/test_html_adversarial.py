@@ -1,0 +1,150 @@
+"""Adversarial HTML-kernel hardening (real-web tag soup).
+
+The extraction tier's core invariants, under inputs messier than the
+golden fixtures: unbalanced/misnested tags, unclosed blocks inside
+pruned subtrees, entities, unicode, comments. Two generators:
+
+* ``tag_soup`` — arbitrary (NOT balanced) open/close/text streams:
+  the kernel must never crash, must be deterministic, must emit only
+  vocabulary kinds, and must never hallucinate tokens absent from the
+  (unescaped) input.
+* ``pruned_doc`` — well-formed documents with boilerplate containers
+  holding marker text and (sometimes) an UNCLOSED block child: marker
+  text must never leak into spans, and content AFTER the pruned
+  subtree must still extract (regression for the prune-stack
+  auto-close fix — an unclosed <p> inside <div class="ad"> used to
+  swallow the rest of the document).
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from docling_api_spark.kernels.html import _unescape, extract_html
+
+KINDS = {"heading", "text", "list_item", "code", "table", "image", "caption"}
+
+_WORD_RE = re.compile(r"\w+")
+
+_TAGS = [
+    "p", "h1", "h2", "li", "pre", "blockquote", "div", "section", "ul",
+    "table", "tr", "td", "th", "caption", "a", "br", "img", "figure",
+    "figcaption", "nav", "header", "footer", "script", "style", "span",
+]
+
+_texts = st.text(
+    alphabet=st.sampled_from(
+        list("abcdefgh XYZ012.,;&#<>\"'=-é中م\U0001f600​\t\n")
+    ),
+    max_size=30,
+)
+_entity = st.sampled_from(
+    ["&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&apos;", "&nbsp;", "&amp;nbsp;"]
+)
+_attr = st.sampled_from(
+    ["", " class=\"ad banner\"", " class=\"content\"", " id=menu",
+     " href='x.html'", " src=\"m/0.png\" alt=\"pic &amp; more\"", " data-x='<'"]
+)
+
+
+@st.composite
+def _piece(draw):
+    which = draw(st.integers(min_value=0, max_value=4))
+    if which == 0:
+        return draw(_texts)
+    if which == 1:
+        return draw(_entity)
+    if which == 2:
+        return f"<!-- {draw(_texts)} -->"
+    tag = draw(st.sampled_from(_TAGS))
+    if which == 3:
+        return f"<{tag}{draw(_attr)}>"
+    return f"</{tag}>"
+
+
+tag_soup = st.lists(_piece(), max_size=40).map("".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(tag_soup)
+def test_tag_soup_safety(markup):
+    spans = extract_html(markup)
+    # deterministic
+    assert extract_html(markup) == spans
+    # No hallucination: every output word must occur contiguously in
+    # some faithful rendering of the input. Two renderings are needed
+    # because, as in a browser, comments and inline tags do NOT break
+    # words (`0<!-- -->0` reads "00") — so tokens may merge across
+    # stripped markup — while attr-sourced text (img alt) exists only
+    # in the RAW form. Entities unescape once for body text and twice
+    # for attr values (entity targets are all non-word chars, so extra
+    # unescapes never mint new words); a space-joined haystack keeps
+    # \w+ tokens from bridging the variants.
+    from docling_api_spark.kernels.html import _TAG_RE
+
+    stripped = _TAG_RE.sub("", markup)
+    s1 = _unescape(stripped)
+    r1 = _unescape(markup)
+    haystack = " ".join([s1, _unescape(s1), r1, _unescape(r1)])
+    for s in spans:
+        assert set(s) == {"kind", "text", "media_ref"}
+        assert s["kind"] in KINDS
+        for tok in _WORD_RE.findall(s["text"]):
+            assert tok in haystack, (tok, markup)
+
+
+_PRUNE_OPENERS = [
+    "<nav>", "<script>", "<style>", "<footer>",
+    '<div class="ad">', '<div id="menu-bar">', "<aside>",
+]
+_PRUNE_CLOSERS = {"<nav>": "</nav>", "<script>": "</script>",
+                  "<style>": "</style>", "<footer>": "</footer>",
+                  '<div class="ad">': "</div>", '<div id="menu-bar">': "</div>",
+                  "<aside>": "</aside>"}
+
+
+@st.composite
+def pruned_doc(draw):
+    parts = ["<p>ZKEEPZ head</p>"]
+    for _ in range(draw(st.integers(min_value=1, max_value=3))):
+        opener = draw(st.sampled_from(_PRUNE_OPENERS))
+        inner = ["ZPRUNEDZ"]
+        # sometimes an unclosed block / misnested close inside the
+        # pruned subtree (the real-web shape behind the auto-close fix)
+        style = draw(st.integers(min_value=0, max_value=3))
+        if style == 0:
+            inner = ["<p>ZPRUNEDZ"]                       # unclosed <p>
+        elif style == 1:
+            inner = ["<div><p>ZPRUNEDZ</div>"]            # p auto-closed by div
+        elif style == 2:
+            inner = ["<ul><li>ZPRUNEDZ<li>ZPRUNEDZ</ul>"]  # unclosed <li>s
+        parts.append(opener + "".join(inner) + _PRUNE_CLOSERS[opener])
+        parts.append(f"<p>ZKEEPZ {draw(st.integers(min_value=0, max_value=9))}</p>")
+    return "".join(parts)
+
+
+@settings(max_examples=80, deadline=None)
+@given(pruned_doc())
+def test_pruned_subtrees_never_leak_and_never_swallow(markup):
+    spans = extract_html(markup)
+    joined = " ".join(s["text"] for s in spans)
+    assert "ZPRUNEDZ" not in joined, markup
+    # every ZKEEPZ paragraph survives: one occurrence per planted <p>
+    assert joined.count("ZKEEPZ") == markup.count("ZKEEPZ"), markup
+
+
+def test_unclosed_block_inside_pruned_div_does_not_swallow_document():
+    spans = extract_html('<div class="ad"><p>buy stuff</div><p>visible content</p>')
+    assert [s["text"] for s in spans] == ["visible content"]
+
+
+def test_misnested_prune_close_recovers():
+    spans = extract_html("<nav><div>menu</nav><p>article text</p>")
+    assert [s["text"] for s in spans] == ["article text"]
+
+
+def test_stray_close_inside_prune_stays_pruned():
+    spans = extract_html("<nav>menu</footer>still menu</nav><p>ok</p>")
+    assert [s["text"] for s in spans] == ["ok"]
