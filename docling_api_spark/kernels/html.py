@@ -59,6 +59,14 @@ _BLOCK_KIND = {
 _FLUSH_TAGS = frozenset(
     set(_BLOCK_KIND) | {"div", "section", "article", "main", "body", "table", "ul", "ol", "figure", "br", "hr"}
 )
+# Block boundaries at which an open <a> expires. An anchor left open
+# across a block boundary is almost always an unclosed-tag artifact;
+# carrying it forward marks every later block link-dominated and
+# silently drops the REST of the document (LINK_RATIO_MAX). Expiring
+# at block boundaries bounds the damage to one block — at worst a
+# deliberate block-wrapping card link is retained instead of dropped.
+# <br> stays excluded: anchors legitimately span line breaks.
+_ANCHOR_RESET_TAGS = frozenset(_FLUSH_TAGS - {"br"})
 
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>|<!--.*?-->", re.DOTALL)
 _ATTR_RE = re.compile(r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]+)")
@@ -242,6 +250,8 @@ def extract_html(markup: str, media_prefix: str = "") -> list[dict]:
                     {"kind": "image", "text": alt, "media_ref": (media_prefix + src) if src else ""}
                 )
                 continue
+            if tag in _ANCHOR_RESET_TAGS:
+                anchor_depth = 0
             if tag in _FLUSH_TAGS and not block_stack and table_depth == 0:
                 flush_pending()
             if tag == "table":
@@ -308,6 +318,8 @@ def extract_html(markup: str, media_prefix: str = "") -> list[dict]:
         if tag == "a":
             anchor_depth = max(0, anchor_depth - 1)
             continue
+        if tag in _ANCHOR_RESET_TAGS:
+            anchor_depth = 0  # an open <a> expires with its block
         if tag == "table":
             if table_depth == 1:
                 flush_table()

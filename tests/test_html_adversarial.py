@@ -148,3 +148,33 @@ def test_misnested_prune_close_recovers():
 def test_stray_close_inside_prune_stays_pruned():
     spans = extract_html("<nav>menu</footer>still menu</nav><p>ok</p>")
     assert [s["text"] for s in spans] == ["ok"]
+
+
+def test_unclosed_anchor_does_not_swallow_document():
+    """An <a> left open used to mark every later block link-dominated,
+    dropping the rest of the document; anchor state now expires at
+    block boundaries."""
+    spans = extract_html(
+        '<p><a href="x">home</p>'
+        "<p>This is a long article paragraph with many words.</p>"
+    )
+    assert [s["text"] for s in spans] == [
+        "This is a long article paragraph with many words."
+    ]
+    # bare-text variant: expiry at the <div> boundary
+    spans = extract_html('<a href="x">nav link<div>Real body text here.</div>')
+    assert [s["text"] for s in spans] == ["Real body text here."]
+
+
+def test_anchor_semantics_unchanged_when_closed():
+    # link-only block: still boilerplate
+    assert extract_html('<p><a href="x">just a link</a></p>') == []
+    # anchor across <br> still counts as one anchor (no expiry at br)
+    assert extract_html('<p><a href="x">one<br>two</a></p>') == []
+    # mixed block: kept, anchor ratio under threshold
+    spans = extract_html(
+        '<p>Read more at <a href="x">this link</a> for details and context.</p>'
+    )
+    assert [s["text"] for s in spans] == [
+        "Read more at this link for details and context."
+    ]
