@@ -147,6 +147,11 @@ def extract_html(markup: str, media_prefix: str = "") -> list[dict]:
     table_caption: str | None = None
     cell_parts: list[str] = []
     in_cell = False
+    # text inside a table but outside any cell — real HTML5 parsers
+    # foster-parent it out of the table (common with stray text or a
+    # <p> misnested between rows); collect and emit it as a text span
+    # in source-position order (after the table) instead of dropping
+    foster_parts: list[str] = []
 
     def flush_pending() -> None:
         nonlocal pending, pending_anchor, pending_total
@@ -186,15 +191,30 @@ def extract_html(markup: str, media_prefix: str = "") -> list[dict]:
         blk.anchor_chars = 0
         blk.total_chars = 0
 
+    def close_open_cell() -> None:
+        """An unclosed <td>/<th>/<caption> closes implicitly with its
+        table (HTML auto-close) — without this its text was dropped."""
+        nonlocal in_cell
+        if in_cell:
+            if table_rows:
+                table_rows[-1].append(_norm("".join(cell_parts)))
+            in_cell = False
+
     def flush_table() -> None:
-        nonlocal table_rows, table_caption
-        if table_rows:
-            ncols = max(len(r) for r in table_rows)
-            rows = [r + [""] * (ncols - len(r)) for r in table_rows]
+        nonlocal table_rows, table_caption, foster_parts
+        close_open_cell()
+        rows_present = [r for r in table_rows if r]  # no empty-text span for row-less tables
+        if rows_present:
+            ncols = max(len(r) for r in rows_present)
+            rows = [r + [""] * (ncols - len(r)) for r in rows_present]
             text = "\n".join(" | ".join(c for c in row) for row in rows)
             spans.append({"kind": "table", "text": text, "media_ref": ""})
             if table_caption:
                 spans.append({"kind": "caption", "text": table_caption, "media_ref": ""})
+        foster = _norm("".join(foster_parts))
+        if len(foster) >= MIN_TEXT_CHARS:
+            spans.append({"kind": "text", "text": foster, "media_ref": ""})
+        foster_parts = []
         table_rows = []
         table_caption = None
 
@@ -206,6 +226,8 @@ def extract_html(markup: str, media_prefix: str = "") -> list[dict]:
             if table_depth > 0:
                 if in_cell:
                     cell_parts.append(raw_text)
+                else:
+                    foster_parts.append(raw_text)
             elif block_stack:
                 block_stack[-1].add(raw_text, anchor_depth > 0)
             else:
@@ -266,8 +288,12 @@ def extract_html(markup: str, media_prefix: str = "") -> list[dict]:
                 continue
             if table_depth > 0:
                 if tag == "tr":
+                    close_open_cell()  # unclosed cell ends with its row
                     table_rows.append([])
                 elif tag in ("td", "th"):
+                    close_open_cell()  # unclosed previous cell
+                    if not table_rows:
+                        table_rows.append([])  # td without tr starts a row
                     in_cell = True
                     cell_parts = []
                 elif tag == "caption":
@@ -343,10 +369,19 @@ def extract_html(markup: str, media_prefix: str = "") -> list[dict]:
     # trailing bare text
     if prune_depth == 0 and pos < len(markup):
         raw_text = markup[pos:]
-        if raw_text and not block_stack and table_depth == 0:
+        if table_depth > 0:
+            if in_cell:
+                cell_parts.append(raw_text)
+            else:
+                foster_parts.append(raw_text)
+        elif block_stack:
+            block_stack[-1].add(raw_text, anchor_depth > 0)
+        elif raw_text:
             n = len(_norm(raw_text))
             pending.append(raw_text)
             pending_total += n
+    if table_depth > 0:
+        flush_table()  # unclosed <table> flushes at EOF instead of vanishing
     while block_stack:
         close_block()
     flush_pending()

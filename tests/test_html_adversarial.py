@@ -166,6 +166,37 @@ def test_unclosed_anchor_does_not_swallow_document():
     assert [s["text"] for s in spans] == ["Real body text here."]
 
 
+def test_unclosed_table_flushes_at_eof():
+    spans = extract_html("<table><tr><td>cell one</td></tr><p>after table text</p>")
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("table", "cell one"),
+        ("text", "after table text"),
+    ]
+    # unclosed cell closes with its table
+    spans = extract_html("<table><tr><td>unclosed cell</table><p>after</p>")
+    assert [(s["kind"], s["text"]) for s in spans] == [
+        ("table", "unclosed cell"),
+        ("text", "after"),
+    ]
+    # trailing open cell at EOF
+    spans = extract_html("<table><tr><td>trail cell")
+    assert [(s["kind"], s["text"]) for s in spans] == [("table", "trail cell")]
+
+
+def test_table_edge_shapes():
+    # td without tr starts a row
+    assert extract_html("<table><td>no tr</td></table>") == [
+        {"kind": "table", "text": "no tr", "media_ref": ""}
+    ]
+    # empty table emits no empty-text span
+    assert extract_html("<table><tr></tr></table>") == []
+    # consecutive unclosed cells/rows land in distinct rows
+    assert extract_html("<table><tr><td>a<tr><td>b</table>")[0]["text"] == "a\nb"
+    # inter-row whitespace does not become a foster span
+    spans = extract_html("<table><tr><td>a</td></tr>\n  \n</table>")
+    assert [(s["kind"], s["text"]) for s in spans] == [("table", "a")]
+
+
 def test_anchor_semantics_unchanged_when_closed():
     # link-only block: still boilerplate
     assert extract_html('<p><a href="x">just a link</a></p>') == []
