@@ -105,6 +105,19 @@ _PRUNE_CLOSERS = {"<nav>": "</nav>", "<script>": "</script>",
                   "<aside>": "</aside>"}
 
 
+# malformed mid-document fragments that must never swallow later
+# content (each pins a fixed silent-loss bug class: prune-stack leak,
+# open-anchor leak, unclosed-table leak)
+_MALFORMED = [
+    "",
+    "<table><tr><td>junk cell",                  # unclosed table
+    "<table><tr><td>c</td>",                     # unclosed row + table
+    '<a href="x">dangling link',                  # unclosed anchor
+    "<table><td>stray</table>",                  # td without tr
+    "</table></td></a></div>",                   # stray closes
+]
+
+
 @st.composite
 def pruned_doc(draw):
     parts = ["<p>ZKEEPZ head</p>"]
@@ -121,6 +134,7 @@ def pruned_doc(draw):
         elif style == 2:
             inner = ["<ul><li>ZPRUNEDZ<li>ZPRUNEDZ</ul>"]  # unclosed <li>s
         parts.append(opener + "".join(inner) + _PRUNE_CLOSERS[opener])
+        parts.append(draw(st.sampled_from(_MALFORMED)))
         parts.append(f"<p>ZKEEPZ {draw(st.integers(min_value=0, max_value=9))}</p>")
     return "".join(parts)
 
