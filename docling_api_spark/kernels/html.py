@@ -18,6 +18,17 @@ Determinism contract: fixed thresholds (LINK_RATIO_MAX = 0.5,
 MIN_TEXT_CHARS = 1), whitespace collapsed to single spaces, entities
 unescaped, spans emitted in document order. No randomness, no
 environment dependence.
+
+Malformed-markup recovery (real-web tag soup — the input at 10^12-doc
+scale is never clean; pinned by tests/test_html_adversarial.py):
+unclosed tags inside pruned subtrees auto-close with their container
+(prune state can never leak to the rest of the document); an open
+<a> expires at block boundaries (never marks the remainder of the
+document link-dominated); unclosed tables/cells flush at EOF or at
+their enclosing close; text inside a table but outside any cell
+(foster content) is emitted as a text span in source order. The
+failure mode for malformed input is bounded local loss, never silent
+loss of the document tail.
 """
 
 from __future__ import annotations
