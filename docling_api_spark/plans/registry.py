@@ -52,7 +52,7 @@ def query(name: str, oracle: str | None = None, prio: int = 50):
 
 
 # --- Round-5 driver-prefix plan -------------------------------------------
-# Slot budget (1 + 4 + 5 + 15 + 25 = 50):
+# Slot budget (1 + 4 + 9 + 15 + 21 = 50):
 #   5 — cheapest query first (absorbs session warmup)
 #   6 — the four entries that have NEVER had a driver row: the two
 #       late-round-4 additions (VERDICT r4 ask #2; both parity-green
@@ -61,10 +61,13 @@ def query(name: str, oracle: str | None = None, prio: int = 50):
 #       rows-only check gets recorded once
 #   7 — every query whose implementation or oracle changed in round 5
 #       (star-CC wiring, the mutual_nn dedup-guard fix, vocab-join
-#       de-broadcast, percentile-cutoff CCNet buckets) — each needs a
-#       fresh row ON THE NEW CODE
+#       de-broadcast, percentile-cutoff CCNet buckets, and — from the
+#       session-2 HTML-kernel tag-soup hardening, which is hash-
+#       identical on well-formed markup but still new code under the
+#       table/span paths — the four extraction gates naming those
+#       paths) — each needs a fresh row ON THE NEW CODE
 #   8 — all fifteen queries whose latest driver row is from round 1
-#   9 — twenty-five round-2-stale picks, favoring the extraction /
+#   9 — twenty-one round-2-stale picks, favoring the extraction /
 #       render / media / search / dedup families over single-
 #       expression scan-and-window gates (which stay r2-green)
 #  60 — checked green in r3/r4 on substantially current code
@@ -75,6 +78,10 @@ _R5_NEVER = frozenset({
 _R5_CHANGED = frozenset({
     "dedup_clusters", "dedup_best_representative", "mutual_nn_pairs",
     "tfidf_top_terms", "pmi_collocations",
+    # HTML-kernel hardening (session 2): fresh rows over the new
+    # table-flush / anchor-expiry / prune-auto-close code paths
+    "extract_rich_spans", "extract_tables_sidecar",
+    "extract_span_counts", "span_order_audit",
 })
 _R5_STALE_R1 = frozenset({
     "bool_predicate", "conjunctive_filters", "dedup_exact",
@@ -83,9 +90,15 @@ _R5_STALE_R1 = frozenset({
     "rollup_status_priority", "score_from_distance", "semi_join_exists",
     "set_except", "sketch_value_quantiles", "topk_global",
 })
+# bm25_rank / vocab_heavy_hitters (textstats + MG operators re-proven
+# by the fresh tfidf/pmi/heavy_hitters rows), doc_embedding_dup_pairs
+# (same operator as embedding_dup_pairs, which stays), and
+# asof_click_attribution (asof join unchanged; the r5-changed CC code
+# in the same module gets three fresh rows) moved out to fund the four
+# HTML-kernel-hardening first-proof slots.
 _R5_STALE_R2_PICKS = frozenset({
-    "ann_lsh_topk", "asof_click_attribution", "bm25_rank",
-    "doc_embedding_dup_pairs", "embedding_dup_pairs",
+    "ann_lsh_topk",
+    "embedding_dup_pairs",
     "extract_docx_roundtrip", "extract_error_rows",
     "extract_html_roundtrip", "extract_media_sidecar",
     "extract_metrics", "extract_pdf_layout", "extract_pptx_roundtrip",
@@ -93,7 +106,6 @@ _R5_STALE_R2_PICKS = frozenset({
     "pdf_media_bbox", "pdf_per_page_export", "per_page_export",
     "quality_filter_curation", "render_dispatch", "render_json_export",
     "render_markdown_rich", "search_pipeline", "video_frame_plan",
-    "vocab_heavy_hitters",
 })
 
 

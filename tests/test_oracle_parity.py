@@ -116,9 +116,10 @@ def test_registry_priority_ordering():
     order is a correctness-evidence contract. Round-5 plan: warmup
     absorber first, then the four never-driver-checked entries (the
     two late-r4 additions + the two by-design rows-only entries), then
-    every query whose code or oracle changed in round 5, then every
-    query whose latest driver row is from round 1, then twenty-five
-    r2-stale picks (exactly 50)."""
+    every query whose code or oracle changed in round 5 (including the
+    four extraction gates over the session-2 HTML-kernel hardening),
+    then every query whose latest driver row is from round 1, then
+    twenty-one r2-stale picks (exactly 50)."""
     from docling_api_spark.plans.registry import (
         _R5_CHANGED,
         _R5_NEVER,
