@@ -27,6 +27,8 @@ by `` | ``, rows by newline). Figure payload is the media_ref.
 
 from __future__ import annotations
 
+import math
+
 __all__ = ["extract_pdf_page", "ROW_SEP", "CELL_SEP"]
 
 ROW_SEP = " § "
@@ -58,6 +60,15 @@ def _parse_blocks(page_text: str) -> list[dict]:
         if len(coords_role) != 5:
             continue
         x0, y0, x1, y1 = (float(v) for v in coords_role[:4])
+        # Non-finite geometry is corrupt input, same class as the
+        # non-numeric coords ValueError above: NaN mid-points compare
+        # False against any cut (the block would silently vanish from
+        # BOTH xy-cut halves — silent data loss), and ±inf puts every
+        # block on one side of an inf cut (the split never shrinks).
+        # Raise so the doc takes the visible per-doc quarantine path
+        # (operators/extract.py ERROR_KIND) instead.
+        if not all(map(math.isfinite, (x0, y0, x1, y1))):
+            raise ValueError(f"non-finite block geometry: {head.strip()!r}")
         role = coords_role[4].strip()
         blocks.append({"x0": x0, "y0": y0, "x1": x1, "y1": y1, "role": role, "payload": payload})
     return blocks
@@ -81,26 +92,40 @@ def _largest_gap(blocks: list[dict], axis: str) -> tuple[float, float | None]:
 
 
 def _xy_cut(blocks: list[dict]) -> list[dict]:
-    """Recursive XY-cut reading order (largest-gap binary split).
+    """XY-cut reading order (largest-gap binary split).
 
     Cut at the single widest projection gap across both axes (a wide
     inter-column gutter beats narrow inter-paragraph leading, so
     columns are read fully left-before-right); y wins ties
     (top-before-bottom). Leaves sort by (y0, x0).
+
+    Iterative depth-first worklist, NOT recursion: a single-column
+    page of n evenly-leaded paragraphs splits one block per cut
+    (every gap ties, the first wins), so recursion depth would be
+    O(n) and a well-formed ~1000-block page would quarantine on
+    RecursionError. The explicit stack emits the identical pre-order.
     """
-    if len(blocks) <= 1:
-        return blocks
-    gy, cy = _largest_gap(blocks, "y")
-    gx, cx = _largest_gap(blocks, "x")
-    if cy is None and cx is None:
-        return sorted(blocks, key=lambda b: (b["y0"], b["x0"]))
-    if cx is not None and (cy is None or gx > gy):
-        lo, hi, cut = "x0", "x1", cx
-    else:
-        lo, hi, cut = "y0", "y1", cy
-    first = [b for b in blocks if (b[lo] + b[hi]) / 2.0 <= cut]
-    second = [b for b in blocks if (b[lo] + b[hi]) / 2.0 > cut]
-    return _xy_cut(first) + _xy_cut(second)
+    ordered: list[dict] = []
+    stack = [blocks]
+    while stack:
+        blks = stack.pop()
+        if len(blks) <= 1:
+            ordered.extend(blks)
+            continue
+        gy, cy = _largest_gap(blks, "y")
+        gx, cx = _largest_gap(blks, "x")
+        if cy is None and cx is None:
+            ordered.extend(sorted(blks, key=lambda b: (b["y0"], b["x0"])))
+            continue
+        if cx is not None and (cy is None or gx > gy):
+            lo, hi, cut = "x0", "x1", cx
+        else:
+            lo, hi, cut = "y0", "y1", cy
+        first = [b for b in blks if (b[lo] + b[hi]) / 2.0 <= cut]
+        second = [b for b in blks if (b[lo] + b[hi]) / 2.0 > cut]
+        stack.append(second)
+        stack.append(first)
+    return ordered
 
 
 def _render_table(payload: str) -> str:

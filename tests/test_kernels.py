@@ -48,6 +48,34 @@ def test_pdf_golden(fx):
     assert _numbered(extract_pdf_page(fx["input"])) == fx["expected"]
 
 
+def test_pdf_deep_single_column_page_no_recursion_limit():
+    """A well-formed single-column page of n evenly-leaded paragraphs
+    splits one block per cut (every projection gap ties), so the old
+    recursive XY-cut hit Python's recursion limit near ~1000 blocks and
+    quarantined a LEGITIMATE document. The iterative worklist must
+    extract all 1500 blocks in reading order."""
+    page = "\n".join(
+        f"BLOCK 0,{4 * i},100,{4 * i + 2},para|line {i}" for i in range(1500)
+    )
+    spans = extract_pdf_page(page)
+    assert [s["text"] for s in spans] == [f"line {i}" for i in range(1500)]
+
+
+@pytest.mark.parametrize(
+    "coords",
+    ["nan,20,100,30", "0,1e400,100,50", "0,0,100,inf", "0,0,100,-inf"],
+)
+def test_pdf_non_finite_geometry_raises(coords):
+    """NaN mid-points compare False against any cut (the block silently
+    vanished from BOTH xy-cut halves — silent data loss) and ±inf put
+    every block on one side of an inf cut (unbounded splitting). Both
+    are corrupt input: raise ValueError so the doc takes the visible
+    per-doc quarantine path, same as non-numeric coords."""
+    page = f"BLOCK 0,0,100,10,para|ok\nBLOCK {coords},para|corrupt"
+    with pytest.raises(ValueError, match="non-finite block geometry"):
+        extract_pdf_page(page)
+
+
 @pytest.mark.parametrize("fx", _load("docx_fixtures.json"), ids=lambda f: f["name"])
 def test_docx_golden(fx):
     assert _numbered(extract_docx(fx["input"])) == fx["expected"]

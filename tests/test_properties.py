@@ -97,6 +97,32 @@ def test_pdf_blocks_vertical_stack_reads_top_down(ws):
     assert [s["text"] for s in spans] == expected
 
 
+_coord = st.integers(min_value=0, max_value=500)
+_block = st.tuples(_coord, _coord, _coord, _coord)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_block, min_size=1, max_size=25))
+def test_pdf_xy_cut_never_loses_a_block(boxes):
+    """ANY finite geometry — overlapping, degenerate, duplicated —
+    partitions every block into exactly one xy-cut half: the output is
+    a permutation of the input payloads (no silent loss, the defect
+    class NaN coords used to trigger), deterministically."""
+    from docling_api_spark.kernels.pdf import extract_pdf_page
+
+    lines = []
+    for i, (a, b, c, d) in enumerate(boxes):
+        x0, x1 = sorted((a, c))
+        y0, y1 = sorted((b, d))
+        lines.append(f"BLOCK {x0},{y0},{x1},{y1},para|payload {i}")
+    page = "\n".join(lines)
+    spans = extract_pdf_page(page)
+    assert sorted(s["text"] for s in spans) == sorted(
+        f"payload {i}" for i in range(len(boxes))
+    )
+    assert extract_pdf_page(page) == spans
+
+
 @settings(max_examples=40, deadline=None)
 @given(words.filter(lambda ws: len(ws) >= 6), st.integers(min_value=4, max_value=64))
 def test_chunker_section_title_tracks_last_heading(ws, budget):
