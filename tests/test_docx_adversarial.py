@@ -1,0 +1,115 @@
+"""Adversarial DOCX-kernel hardening (malformed WordprocessingML).
+
+Converted corpora at 10^12-doc scale carry truncated and misnested
+XML; the kernel must degrade to bounded, visible recovery — never
+silent loss of a document tail, never hallucinated markup in span
+text. Regression classes (all reproduced against the pre-fix kernel):
+
+1. unclosed trailing ``<w:p>`` dropped its text (tail loss);
+2. an unclosed ``<w:tbl>`` regex-spanned to the NEXT table's closer,
+   silently swallowing every paragraph in between;
+3. an unclosed ``<w:t>`` leaked literal ``<w:r><w:t>`` markup into the
+   extracted text.
+
+Plus a hypothesis property: arbitrary tag-soup streams never crash,
+extract deterministically, emit only vocabulary kinds, and never
+hallucinate word tokens absent from the input.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from docling_api_spark.kernels.docx import extract_docx
+
+KINDS = {"heading", "text", "list_item", "code", "table", "image", "caption"}
+
+_WORD_RE = re.compile(r"\w+")
+
+
+def _texts(spans):
+    return [s["text"] for s in spans]
+
+
+class TestRecoveryClasses:
+    def test_unclosed_trailing_paragraph_is_flushed(self):
+        spans = extract_docx(
+            "<w:p><w:r><w:t>kept</w:t></w:r></w:p>"
+            "<w:p><w:r><w:t>tail text</w:t></w:r>"
+        )
+        assert _texts(spans) == ["kept", "tail text"]
+
+    def test_unclosed_table_does_not_swallow_paragraphs_before_next_table(self):
+        spans = extract_docx(
+            "<w:tbl><w:tr><w:tc><w:r><w:t>A</w:t></w:r></w:tc></w:tr>"
+            "<w:p><w:r><w:t>middle para</w:t></w:r></w:p>"
+            "<w:tbl><w:tr><w:tc><w:r><w:t>B</w:t></w:r></w:tc></w:tr></w:tbl>"
+        )
+        assert [(s["kind"], s["text"]) for s in spans] == [
+            ("table", "A"),
+            ("text", "middle para"),
+            ("table", "B"),
+        ]
+
+    def test_unclosed_table_at_eof_flushes_rows_and_foster_text(self):
+        spans = extract_docx(
+            "<w:tbl><w:tr><w:tc><w:r><w:t>X</w:t></w:r></w:tc></w:tr>"
+            "<w:p><w:r><w:t>after</w:t></w:r></w:p>"
+        )
+        assert [(s["kind"], s["text"]) for s in spans] == [
+            ("table", "X"),
+            ("text", "after"),
+        ]
+
+    def test_unclosed_run_never_hallucinates_markup(self):
+        spans = extract_docx("<w:p><w:r><w:t>open run <w:r><w:t>next</w:t></w:r></w:p>")
+        assert _texts(spans) == ["open run next"]
+        assert all("<" not in s["text"] for s in spans)
+
+    def test_escaped_angle_brackets_stay_literal(self):
+        spans = extract_docx("<w:p><w:r><w:t>escaped &lt;w:t&gt; literal</w:t></w:r></w:p>")
+        assert _texts(spans) == ["escaped <w:t> literal"]
+
+    def test_trailing_unclosed_run_in_closed_paragraph(self):
+        spans = extract_docx("<w:p><w:r><w:t>closed</w:t></w:r><w:r><w:t>dangling</w:p>")
+        assert _texts(spans) == ["closed dangling"]
+
+    def test_misnested_paragraph_auto_closes(self):
+        # an unclosed <w:p> followed by another paragraph: both texts
+        # survive as separate spans (auto-close at the next block open)
+        spans = extract_docx(
+            "<w:p><w:r><w:t>first</w:t></w:r>"
+            "<w:p><w:r><w:t>second</w:t></w:r></w:p>"
+        )
+        assert _texts(spans) == ["first", "second"]
+
+
+_frag = st.sampled_from(
+    [
+        "<w:p>", "</w:p>", "<w:tbl>", "</w:tbl>", "<w:tr>", "</w:tr>",
+        "<w:tc>", "</w:tc>", "<w:r>", "</w:r>", "<w:t>", "</w:t>",
+        '<w:pPr><w:pStyle w:val="Heading1"/></w:pPr>',
+        '<w:pPr><w:pStyle w:val="ListParagraph"/></w:pPr>',
+        '<w:drawing r:embed="m1"/>',
+        "alpha", "bravo charlie", "&amp;", "&lt;tag&gt;", " ",
+    ]
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(_frag, min_size=0, max_size=30))
+def test_docx_tag_soup_safety(frags):
+    """Arbitrary open/close/text streams: no crash, deterministic,
+    vocabulary kinds only, and no word token in any span text that is
+    absent from the input's text content."""
+    xml = "".join(frags)
+    spans = extract_docx(xml)
+    assert extract_docx(xml) == spans
+    input_words = set(_WORD_RE.findall(xml.replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")))
+    for s in spans:
+        assert s["kind"] in KINDS
+        assert "<" not in s["text"]
+        for w in _WORD_RE.findall(s["text"]):
+            assert w in input_words, (w, xml)
