@@ -20,6 +20,15 @@ exactly like a multi-page PDF.
 Shapes are emitted in document order; adjacent ``<a:t>`` runs inside a
 paragraph concatenate; entities unescape; whitespace collapses;
 paragraphs that normalize to empty are dropped.
+
+Tag-soup recovery (same contract as kernels/docx.py; behavior on
+well-formed slides unchanged — golden fixtures + oracle hashes
+identical): shapes auto-close at the next shape-level open or EOF
+instead of regex-spanning to a later closer (an unclosed
+``<p:graphicFrame>`` used to swallow every shape up to the NEXT
+frame's closer); a trailing unclosed ``<a:p>``/``<a:t>`` still
+contributes its text; stray markup inside recovered run text is
+stripped, never emitted.
 """
 
 from __future__ import annotations
@@ -28,14 +37,18 @@ import re
 
 __all__ = ["extract_pptx_slide"]
 
-_SHAPE_RE = re.compile(
-    r"<p:sp\s+type=\"(title|body)\"\s*>(.*?)</p:sp>"
+_SHAPE_OPEN_RE = re.compile(
+    r"<p:sp\s+type=\"(title|body)\"\s*>"
     r"|<p:pic\s+r:embed=\"([^\"]*)\"\s*/?>"
-    r"|<p:graphicFrame(?:\s[^>]*)?>(.*?)</p:graphicFrame>",
-    re.DOTALL,
+    r"|<p:graphicFrame(?:\s[^>]*)?>"
 )
+_SP_CLOSE_RE = re.compile(r"</p:sp>")
+_FRAME_CLOSE_RE = re.compile(r"</p:graphicFrame>")
 _PARA_RE = re.compile(r"<a:p(\s[^>]*)?>(.*?)</a:p>", re.DOTALL)
+_P_OPEN_TAIL_RE = re.compile(r"<a:p(\s[^>]*)?>(.*)", re.DOTALL)
 _T_RE = re.compile(r"<a:t(?:\s[^>]*)?>(.*?)</a:t>", re.DOTALL)
+_T_OPEN_TAIL_RE = re.compile(r"<a:t(?:\s[^>]*)?>([^<]*)")
+_TAG_RE = re.compile(r"<[^>]*>")
 _BULLET_RE = re.compile(r"bullet=\"1\"")
 _TR_RE = re.compile(r"<a:tr(?:\s[^>]*)?>(.*?)</a:tr>", re.DOTALL)
 _TC_RE = re.compile(r"<a:tc(?:\s[^>]*)?>(.*?)</a:tc>", re.DOTALL)
@@ -46,33 +59,103 @@ _ENTITY_RE = re.compile("|".join(re.escape(k) for k in _ENTITIES))
 
 
 def _norm(text: str) -> str:
+    # strip markup BEFORE unescaping so "&lt;a:t&gt;" stays literal
+    # text; well-formed run content contains no raw "<"
+    text = _TAG_RE.sub(" ", text)
     return _WS_RE.sub(" ", _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], text)).strip()
 
 
 def _runs_text(body: str) -> str:
-    return _norm(" ".join(t.group(1) for t in _T_RE.finditer(body)))
+    parts = []
+    last_end = 0
+    for t in _T_RE.finditer(body):
+        parts.append(t.group(1))
+        last_end = t.end()
+    tail = _T_OPEN_TAIL_RE.search(body, last_end)
+    if tail:
+        parts.append(tail.group(1))
+    return _norm(" ".join(parts))
+
+
+def _paras(body: str):
+    """Closed ``<a:p>`` paragraphs plus a trailing unclosed one (its
+    closer fell past an auto-close boundary)."""
+    last_end = 0
+    for pm in _PARA_RE.finditer(body):
+        yield pm.group(1) or "", pm.group(2)
+        last_end = pm.end()
+    tail = _P_OPEN_TAIL_RE.search(body, last_end)
+    if tail:
+        yield tail.group(1) or "", tail.group(2)
+
+
+def _shapes(xml: str):
+    """Yield ``(kind, payload)`` shapes in document order — kind in
+    {"sp", "pic", "frame"} — linear scan with auto-close at the next
+    shape-level open / EOF (the slide model never nests shapes, so
+    well-formed boundaries are unchanged)."""
+    pos = 0
+    while True:
+        m = _SHAPE_OPEN_RE.search(xml, pos)
+        if m is None:
+            return
+        if m.group(2) is not None:  # <p:pic/> is self-contained
+            yield "pic", m.group(2)
+            pos = m.end()
+            continue
+        if m.group(1) is not None:
+            kind, close_re = "sp", _SP_CLOSE_RE
+        else:
+            kind, close_re = "frame", _FRAME_CLOSE_RE
+        close = close_re.search(xml, m.end())
+        nxt = _SHAPE_OPEN_RE.search(xml, m.end())
+        if close is not None and (nxt is None or close.start() <= nxt.start()):
+            body = xml[m.end() : close.start()]
+            pos = close.end()
+        elif nxt is not None:
+            body = xml[m.end() : nxt.start()]
+            pos = nxt.start()
+        else:
+            body = xml[m.end() :]
+            pos = len(xml)
+        yield (kind, (m.group(1), body)) if kind == "sp" else (kind, body)
+        if pos >= len(xml):
+            return
+
+
+def _emit_body_paras(body: str, spans: list[dict]) -> None:
+    for attrs, pbody in _paras(body):
+        text = _runs_text(pbody)
+        if not text:
+            continue
+        kind = "list_item" if _BULLET_RE.search(attrs) else "text"
+        spans.append({"kind": kind, "text": text, "media_ref": ""})
 
 
 def extract_pptx_slide(xml: str, media_prefix: str = "") -> list[dict]:
     """Extract ordered output spans from one simplified PresentationML
     slide body."""
     spans: list[dict] = []
-    for m in _SHAPE_RE.finditer(xml):
-        sp_type, sp_body, pic_ref, frame_body = m.group(1), m.group(2), m.group(3), m.group(4)
-        if pic_ref is not None:
+    for kind, payload in _shapes(xml):
+        if kind == "pic":
             spans.append(
                 {
                     "kind": "image",
                     "text": "",
-                    "media_ref": (media_prefix + pic_ref) if pic_ref else "",
+                    "media_ref": (media_prefix + payload) if payload else "",
                 }
             )
-        elif frame_body is not None:
+        elif kind == "frame":
             rows = []
-            for tr in _TR_RE.finditer(frame_body):
+            leftover_parts = []
+            last_end = 0
+            for tr in _TR_RE.finditer(payload):
                 cells = [_runs_text(tc.group(1)) for tc in _TC_RE.finditer(tr.group(1))]
                 if cells:
                     rows.append(cells)
+                leftover_parts.append(payload[last_end : tr.start()])
+                last_end = tr.end()
+            leftover_parts.append(payload[last_end:])
             if rows:
                 ncols = max(len(r) for r in rows)
                 rows = [r + [""] * (ncols - len(r)) for r in rows]
@@ -83,16 +166,14 @@ def extract_pptx_slide(xml: str, media_prefix: str = "") -> list[dict]:
                         "media_ref": "",
                     }
                 )
-        elif sp_type == "title":
-            text = _runs_text(sp_body)
+            # foster content: paragraphs trapped in an (auto-closed)
+            # frame body outside every closed row — nothing on
+            # well-formed slides, whose frame bodies are rows only
+            _emit_body_paras(" ".join(leftover_parts), spans)
+        elif payload[0] == "title":
+            text = _runs_text(payload[1])
             if text:
                 spans.append({"kind": "heading", "text": text, "media_ref": ""})
         else:  # body shape: one span per paragraph
-            for pm in _PARA_RE.finditer(sp_body):
-                attrs, pbody = pm.group(1) or "", pm.group(2)
-                text = _runs_text(pbody)
-                if not text:
-                    continue
-                kind = "list_item" if _BULLET_RE.search(attrs) else "text"
-                spans.append({"kind": kind, "text": text, "media_ref": ""})
+            _emit_body_paras(payload[1], spans)
     return spans

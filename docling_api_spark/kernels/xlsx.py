@@ -16,6 +16,14 @@ workbook shards across partitions exactly like a 500-page PDF.
 Cell text is entity-unescaped and whitespace-collapsed; ragged rows are
 padded to the widest row (docx table convention); rows with no cells
 are dropped; a sheet whose grid is empty emits only its heading.
+
+Tag-soup recovery (same contract as kernels/docx.py; behavior on
+well-formed sheets unchanged — golden fixtures + oracle hashes
+identical): a sheet auto-closes at the next ``<sheet`` open or EOF
+instead of being silently dropped (an unclosed ``<sheet>`` used to
+lose its whole grid, or merge into the NEXT sheet's closer and drop
+that sheet's heading); a trailing unclosed ``<row>`` still yields its
+closed cells; stray markup inside recovered cell text is stripped.
 """
 
 from __future__ import annotations
@@ -24,9 +32,12 @@ import re
 
 __all__ = ["extract_xlsx_sheet"]
 
-_SHEET_RE = re.compile(r"<sheet\s+name=\"([^\"]*)\"\s*>(.*?)</sheet>", re.DOTALL)
+_SHEET_OPEN_RE = re.compile(r"<sheet\s+name=\"([^\"]*)\"\s*>")
+_SHEET_CLOSE_RE = re.compile(r"</sheet>")
 _ROW_RE = re.compile(r"<row(?:\s[^>]*)?>(.*?)</row>", re.DOTALL)
+_ROW_OPEN_TAIL_RE = re.compile(r"<row(?:\s[^>]*)?>(.*)", re.DOTALL)
 _CELL_RE = re.compile(r"<c(?:\s[^>]*)?>(.*?)</c>", re.DOTALL)
+_TAG_RE = re.compile(r"<[^>]*>")
 _WS_RE = re.compile(r"\s+")
 
 _ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'"}
@@ -34,7 +45,50 @@ _ENTITY_RE = re.compile("|".join(re.escape(k) for k in _ENTITIES))
 
 
 def _norm(text: str) -> str:
+    # strip markup BEFORE unescaping so "&lt;c&gt;" stays literal
+    # text; well-formed cell content contains no raw "<"
+    text = _TAG_RE.sub(" ", text)
     return _WS_RE.sub(" ", _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], text)).strip()
+
+
+def _sheets(xml: str):
+    """Yield ``(name, body)`` worksheets in document order — linear
+    scan; a sheet's body runs to its ``</sheet>`` or auto-closes at
+    the next ``<sheet`` open / EOF."""
+    pos = 0
+    while True:
+        m = _SHEET_OPEN_RE.search(xml, pos)
+        if m is None:
+            return
+        close = _SHEET_CLOSE_RE.search(xml, m.end())
+        nxt = _SHEET_OPEN_RE.search(xml, m.end())
+        if close is not None and (nxt is None or close.start() <= nxt.start()):
+            yield m.group(1), xml[m.end() : close.start()]
+            pos = close.end()
+        elif nxt is not None:
+            yield m.group(1), xml[m.end() : nxt.start()]
+            pos = nxt.start()
+        else:
+            yield m.group(1), xml[m.end() :]
+            return
+
+
+def _grid_rows(body: str) -> list[list[str]]:
+    rows = []
+    last_end = 0
+    for rm in _ROW_RE.finditer(body):
+        cells = [_norm(c.group(1)) for c in _CELL_RE.finditer(rm.group(1))]
+        if cells:
+            rows.append(cells)
+        last_end = rm.end()
+    # a trailing unclosed <row> (its closer fell past an auto-close
+    # boundary) still yields its closed cells
+    tail = _ROW_OPEN_TAIL_RE.search(body, last_end)
+    if tail:
+        cells = [_norm(c.group(1)) for c in _CELL_RE.finditer(tail.group(1))]
+        if cells:
+            rows.append(cells)
+    return rows
 
 
 def extract_xlsx_sheet(xml: str, media_prefix: str = "") -> list[dict]:
@@ -42,15 +96,11 @@ def extract_xlsx_sheet(xml: str, media_prefix: str = "") -> list[dict]:
     worksheet: sheet-name heading followed by the cell grid as a table
     span in the engine-wide ``" | "``/newline table text format."""
     spans: list[dict] = []
-    for m in _SHEET_RE.finditer(xml):
-        name, body = _norm(m.group(1)), m.group(2)
+    for raw_name, body in _sheets(xml):
+        name = _norm(raw_name)
         if name:
             spans.append({"kind": "heading", "text": name, "media_ref": ""})
-        rows = []
-        for rm in _ROW_RE.finditer(body):
-            cells = [_norm(c.group(1)) for c in _CELL_RE.finditer(rm.group(1))]
-            if cells:
-                rows.append(cells)
+        rows = _grid_rows(body)
         if rows:
             ncols = max(len(r) for r in rows)
             rows = [r + [""] * (ncols - len(r)) for r in rows]
