@@ -91,9 +91,12 @@ def _blocks(xml: str):
             kind, close_re, bound_re = "tbl", _TBL_CLOSE_RE, _TBL_OPEN_RE
         else:
             kind, close_re, bound_re = "p", _P_CLOSE_RE, _BLOCK_OPEN_RE
-        close = close_re.search(xml, m.end())
         nxt = bound_re.search(xml, m.end())
-        if close is not None and (nxt is None or close.start() <= nxt.start()):
+        # bound the close search by the next open: a closer past it
+        # loses to auto-close anyway, and the bound keeps adversarial
+        # streams of unclosed opens linear instead of quadratic
+        close = close_re.search(xml, m.end(), nxt.start() if nxt else len(xml))
+        if close is not None:
             yield kind, xml[m.end() : close.start()]
             pos = close.end()
         elif nxt is not None:

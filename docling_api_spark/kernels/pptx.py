@@ -107,9 +107,11 @@ def _shapes(xml: str):
             kind, close_re = "sp", _SP_CLOSE_RE
         else:
             kind, close_re = "frame", _FRAME_CLOSE_RE
-        close = close_re.search(xml, m.end())
         nxt = _SHAPE_OPEN_RE.search(xml, m.end())
-        if close is not None and (nxt is None or close.start() <= nxt.start()):
+        # bound the close search by the next open (see kernels/docx.py
+        # _blocks — keeps adversarial unclosed-open streams linear)
+        close = close_re.search(xml, m.end(), nxt.start() if nxt else len(xml))
+        if close is not None:
             body = xml[m.end() : close.start()]
             pos = close.end()
         elif nxt is not None:

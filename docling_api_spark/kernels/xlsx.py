@@ -60,9 +60,11 @@ def _sheets(xml: str):
         m = _SHEET_OPEN_RE.search(xml, pos)
         if m is None:
             return
-        close = _SHEET_CLOSE_RE.search(xml, m.end())
         nxt = _SHEET_OPEN_RE.search(xml, m.end())
-        if close is not None and (nxt is None or close.start() <= nxt.start()):
+        # bound the close search by the next open (see kernels/docx.py
+        # _blocks — keeps adversarial unclosed-open streams linear)
+        close = _SHEET_CLOSE_RE.search(xml, m.end(), nxt.start() if nxt else len(xml))
+        if close is not None:
             yield m.group(1), xml[m.end() : close.start()]
             pos = close.end()
         elif nxt is not None:
