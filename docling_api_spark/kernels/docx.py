@@ -66,10 +66,9 @@ def _para_text(body: str) -> str:
     for m in _T_RE.finditer(body):
         parts.append(m.group(1))
         last_end = m.end()
-    # a trailing unclosed <w:t> (its closer fell past an auto-close
-    # boundary) still contributes its immediate text
-    tail = _T_OPEN_TAIL_RE.search(body, last_end)
-    if tail:
+    # trailing unclosed <w:t> opens (their closers fell past an
+    # auto-close boundary) still contribute their immediate text
+    for tail in _T_OPEN_TAIL_RE.finditer(body, last_end):
         parts.append(tail.group(1))
     return _norm(" ".join(parts))
 

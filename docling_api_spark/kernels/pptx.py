@@ -71,8 +71,7 @@ def _runs_text(body: str) -> str:
     for t in _T_RE.finditer(body):
         parts.append(t.group(1))
         last_end = t.end()
-    tail = _T_OPEN_TAIL_RE.search(body, last_end)
-    if tail:
+    for tail in _T_OPEN_TAIL_RE.finditer(body, last_end):
         parts.append(tail.group(1))
     return _norm(" ".join(parts))
 

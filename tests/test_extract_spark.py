@@ -197,3 +197,60 @@ def test_error_quarantine_never_fails_the_task(spark):
     assert set(errs) == {"bad1", "bad2"}
     for r in errs.values():
         assert r["status"] == "error" and r["error_message"].startswith("ValueError")
+
+
+def test_tag_soup_corpus_satisfies_audit_invariants(spark):
+    """End-to-end tie between kernel tag-soup recovery and the
+    north-rule audits: a corpus of malformed html/docx/pptx/xlsx docs
+    (every recovery class from the adversarial suites) run through the
+    REAL mapInPandas pipeline must (a) extract every doc — recovery,
+    not quarantine, for markup-level damage; (b) pass the span-order
+    density audit; (c) pass media-ref integrity; (d) non-finite pdf
+    geometry takes the quarantine path, never silent loss."""
+    from pyspark.sql import Row
+
+    from docling_api_spark.operators.audit import (
+        media_ref_violations,
+        span_order_violations,
+    )
+    from docling_api_spark.operators.extract import extract, extract_errors
+
+    span = lambda kind, text, off: Row(kind=kind, text=text, media_ref="", offset=off)  # noqa: E731
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id="soup_html", fmt="html", size_bytes=100,
+                spans=[span("html", "<div class=\"ad\"><p>x</div><p>kept "
+                                    "<a href=y>link<table><tr><td>cell", 0)]),
+            Row(doc_id="soup_docx", fmt="docx", size_bytes=100,
+                spans=[span("docx_xml", "<w:tbl><w:tr><w:tc><w:r><w:t>A</w:t></w:r></w:tc></w:tr>"
+                                        "<w:p><w:r><w:t>mid</w:t></w:r></w:p>"
+                                        "<w:p><w:r><w:t>tail", 0)]),
+            Row(doc_id="soup_pptx", fmt="pptx", size_bytes=100,
+                spans=[span("pptx_slide", "<p:graphicFrame><a:tbl><a:tr><a:tc><a:t>T</a:t></a:tc></a:tr>"
+                                          "<p:sp type=\"body\"><a:p><a:t>open <a:t>run", 1)]),
+            Row(doc_id="soup_xlsx", fmt="xlsx", size_bytes=100,
+                spans=[span("xlsx_sheet", "<sheet name=\"S\"><row><c>a<c>b</c>", 1)]),
+            Row(doc_id="nan_pdf", fmt="pdf", size_bytes=100,
+                spans=[span("pdf_page", "BLOCK 0,0,100,10,para|ok\n"
+                                        "BLOCK nan,20,100,30,para|gone", 1)]),
+        ]
+    )
+    got = extract(corpus, salt_partitions=4)
+    ids = {r["doc_id"] for r in got.collect()}
+    assert ids == {"soup_html", "soup_docx", "soup_pptx", "soup_xlsx"}
+    assert span_order_violations(got).count() == 0
+    assert media_ref_violations(got).count() == 0
+    # recovered text is present and markup-free
+    texts = {
+        r["doc_id"]: " ".join(s["text"] for s in r["spans"])
+        for r in got.collect()
+    }
+    assert "kept" in texts["soup_html"] and "x" not in texts["soup_html"].split()
+    assert "mid" in texts["soup_docx"] and "tail" in texts["soup_docx"]
+    assert "open run" in texts["soup_pptx"]
+    assert "a b" in texts["soup_xlsx"]
+    assert all("<" not in t for t in texts.values())
+    # the NaN-geometry pdf is quarantined visibly, not silently dropped
+    errs = {r["doc_id"]: r for r in extract_errors(corpus, salt_partitions=4).collect()}
+    assert set(errs) == {"nan_pdf"}
+    assert errs["nan_pdf"]["error_message"].startswith("ValueError")
