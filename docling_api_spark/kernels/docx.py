@@ -56,8 +56,13 @@ def _norm(text: str) -> str:
     # Strip markup BEFORE unescaping so "&lt;w:t&gt;" stays literal
     # text; well-formed run content contains no raw "<", so the strip
     # only fires on recovered tag soup.
-    text = _TAG_RE.sub(" ", text)
-    return _WS_RE.sub(" ", _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], text)).strip()
+    if "<" in text:
+        text = _TAG_RE.sub(" ", text)
+    if "&" in text:
+        text = _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], text)
+    # " ".join(split()) ≡ _WS_RE.sub(" ", t).strip() for every Unicode
+    # codepoint (str.split and \s agree on the whitespace set), ~5x faster
+    return " ".join(text.split())
 
 
 def _para_text(body: str) -> str:

@@ -47,8 +47,13 @@ _ENTITY_RE = re.compile("|".join(re.escape(k) for k in _ENTITIES))
 def _norm(text: str) -> str:
     # strip markup BEFORE unescaping so "&lt;c&gt;" stays literal
     # text; well-formed cell content contains no raw "<"
-    text = _TAG_RE.sub(" ", text)
-    return _WS_RE.sub(" ", _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], text)).strip()
+    if "<" in text:
+        text = _TAG_RE.sub(" ", text)
+    if "&" in text:
+        text = _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], text)
+    # " ".join(split()) ≡ _WS_RE.sub(" ", t).strip() for every Unicode
+    # codepoint (str.split and \s agree on the whitespace set), ~5x faster
+    return " ".join(text.split())
 
 
 def _sheets(xml: str):
