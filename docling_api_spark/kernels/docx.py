@@ -46,7 +46,6 @@ _STYLE_RE = re.compile(r"<w:pStyle\s+w:val=\"([^\"]+)\"")
 _DRAWING_RE = re.compile(r"<w:drawing\s+r:embed=\"([^\"]+)\"\s*/?>")
 _TR_RE = re.compile(r"<w:tr(?:\s[^>]*)?>(.*?)</w:tr>", re.DOTALL)
 _TC_RE = re.compile(r"<w:tc(?:\s[^>]*)?>(.*?)</w:tc>", re.DOTALL)
-_WS_RE = re.compile(r"\s+")
 
 _ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'"}
 _ENTITY_RE = re.compile("|".join(re.escape(k) for k in _ENTITIES))
@@ -60,7 +59,7 @@ def _norm(text: str) -> str:
         text = _TAG_RE.sub(" ", text)
     if "&" in text:
         text = _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], text)
-    # " ".join(split()) ≡ _WS_RE.sub(" ", t).strip() for every Unicode
+    # " ".join(split()) ≡ re.sub(r"\s+", " ", t).strip() for every Unicode
     # codepoint (str.split and \s agree on the whitespace set), ~5x faster
     return " ".join(text.split())
 

@@ -81,7 +81,6 @@ _ANCHOR_RESET_TAGS = frozenset(_FLUSH_TAGS - {"br"})
 
 _TAG_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>|<!--.*?-->", re.DOTALL)
 _ATTR_RE = re.compile(r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]+)")
-_WS_RE = re.compile(r"\s+")
 
 _ENTITIES = {
     "&amp;": "&",
@@ -105,7 +104,7 @@ def _unescape(text: str) -> str:
 
 
 def _norm(text: str) -> str:
-    # " ".join(split()) is byte-identical to _WS_RE.sub(" ", t).strip()
+    # " ".join(split()) is byte-identical to re.sub(r"\s+", " ", t).strip()
     # for every Unicode codepoint (verified exhaustively: str.split and
     # \s agree on the whitespace set) and ~5x faster — this runs per
     # text fragment in the kernel hot loop

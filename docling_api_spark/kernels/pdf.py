@@ -115,7 +115,7 @@ def _xy_cut(blocks: list[tuple]) -> list[tuple]:
     Cut at the single widest projection gap across both axes (a wide
     inter-column gutter beats narrow inter-paragraph leading, so
     columns are read fully left-before-right); y wins ties
-    (top-before-bottom). Leaves sort by (y0, x0).
+    (top-before-bottom). Leaves sort by (y0, x0, parse order).
 
     Iterative depth-first worklist, NOT recursion: a single-column
     page of n evenly-leaded paragraphs splits one block per cut
@@ -146,9 +146,15 @@ def _xy_cut(blocks: list[tuple]) -> list[tuple]:
         gy, cy = _largest_gap_view(blocks, yview, _Y0, _Y1)
         gx, cx = _largest_gap_view(blocks, xview, _X0, _X1)
         if cy is None and cx is None:
+            # final index = PARSE order, so ties on (y0, x0) break the
+            # same way the pre-view implementation did (stable sort of
+            # a parse-ordered list): yview arrives (y0, y1)-sorted, and
+            # without the index a y1 tiebreak would leak through on
+            # overlapping/degenerate layouts — a silent order change
+            # that gate corpora (spread float coords, no ties) miss.
             ordered.extend(
                 blocks[i]
-                for i in sorted(yview, key=lambda i: (blocks[i][_Y0], blocks[i][_X0]))
+                for i in sorted(yview, key=lambda i: (blocks[i][_Y0], blocks[i][_X0], i))
             )
             continue
         if cx is not None and (cy is None or gx > gy):

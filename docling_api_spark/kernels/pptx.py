@@ -52,7 +52,6 @@ _TAG_RE = re.compile(r"<[^>]*>")
 _BULLET_RE = re.compile(r"bullet=\"1\"")
 _TR_RE = re.compile(r"<a:tr(?:\s[^>]*)?>(.*?)</a:tr>", re.DOTALL)
 _TC_RE = re.compile(r"<a:tc(?:\s[^>]*)?>(.*?)</a:tc>", re.DOTALL)
-_WS_RE = re.compile(r"\s+")
 
 _ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'"}
 _ENTITY_RE = re.compile("|".join(re.escape(k) for k in _ENTITIES))
@@ -65,7 +64,7 @@ def _norm(text: str) -> str:
         text = _TAG_RE.sub(" ", text)
     if "&" in text:
         text = _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], text)
-    # " ".join(split()) ≡ _WS_RE.sub(" ", t).strip() for every Unicode
+    # " ".join(split()) ≡ re.sub(r"\s+", " ", t).strip() for every Unicode
     # codepoint (str.split and \s agree on the whitespace set), ~5x faster
     return " ".join(text.split())
 

@@ -38,7 +38,6 @@ _ROW_RE = re.compile(r"<row(?:\s[^>]*)?>(.*?)</row>", re.DOTALL)
 _ROW_OPEN_TAIL_RE = re.compile(r"<row(?:\s[^>]*)?>(.*)", re.DOTALL)
 _CELL_RE = re.compile(r"<c(?:\s[^>]*)?>(.*?)</c>", re.DOTALL)
 _TAG_RE = re.compile(r"<[^>]*>")
-_WS_RE = re.compile(r"\s+")
 
 _ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'"}
 _ENTITY_RE = re.compile("|".join(re.escape(k) for k in _ENTITIES))
@@ -51,7 +50,7 @@ def _norm(text: str) -> str:
         text = _TAG_RE.sub(" ", text)
     if "&" in text:
         text = _ENTITY_RE.sub(lambda m: _ENTITIES[m.group(0)], text)
-    # " ".join(split()) ≡ _WS_RE.sub(" ", t).strip() for every Unicode
+    # " ".join(split()) ≡ re.sub(r"\s+", " ", t).strip() for every Unicode
     # codepoint (str.split and \s agree on the whitespace set), ~5x faster
     return " ".join(text.split())
 

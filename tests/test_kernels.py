@@ -61,6 +61,21 @@ def test_pdf_deep_single_column_page_no_recursion_limit():
     assert [s["text"] for s in spans] == [f"line {i}" for i in range(1500)]
 
 
+def test_pdf_no_gap_leaf_ties_break_by_parse_order():
+    """Overlapping blocks with NO projection gap on either axis hit the
+    xy-cut no-gap fallback sort. Blocks tied on (y0, x0) there must
+    keep PARSE order — the pre-view implementation's stable-sort
+    behavior — not the y-view's incidental (y0, y1) order. Found by
+    differential review of the view-based rewrite: gate corpora use
+    spread float coords and never tie, so only a degenerate/overlap
+    layout exposes the order change."""
+    page = (
+        "BLOCK 0,0,10,10,para|AAAA body text\n"
+        "BLOCK 0,0,10,5,para|BBBB body text"
+    )
+    assert [s["text"][:4] for s in extract_pdf_page(page)] == ["AAAA", "BBBB"]
+
+
 @pytest.mark.parametrize(
     "coords",
     ["nan,20,100,30", "0,1e400,100,50", "0,0,100,inf", "0,0,100,-inf"],
