@@ -99,9 +99,21 @@ def main() -> None:
     # fail the job on any span-order or media-ref violation.
     audit: dict = {"skipped": True}
     if not args.skip_audit:
+        from pyspark.errors import AnalysisException
+
         from docling_api_spark.operators.audit import assert_extraction_invariants
 
-        audit = assert_extraction_invariants(spark.read.parquet(args.output))
+        try:
+            materialized = spark.read.parquet(args.output)
+        except AnalysisException:
+            # zero part files (every doc size-gated / empty corpus):
+            # only _SUCCESS/_commits exist, so parquet schema inference
+            # fails — nothing was published, so there is nothing to
+            # audit; the metrics line reports null totals as before
+            audit = {"span_order_violations": 0, "media_ref_violations": 0,
+                     "note": "empty output, no data files"}
+        else:
+            audit = assert_extraction_invariants(materialized)
     hist = commit_history(spark, args.output)
     totals = hist.groupBy().sum("docs", "spans", "chars").first()
     print(
