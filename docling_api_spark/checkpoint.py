@@ -147,9 +147,24 @@ class CommitLog:
     def commits(self) -> list[dict]:
         return self._manifests()
 
-    def commit(self, seq: int, buckets: list[int], metrics: dict) -> None:
+    def recorded_num_buckets(self) -> set[int]:
+        """Distinct ``num_buckets`` values across parseable manifests
+        (empty for pre-field manifests). Resume must run with the SAME
+        bucket count the table was written with: committed bucket ids
+        are only meaningful in their own hash space, so resuming 16-way
+        commits with num_buckets=8 would treat new-space buckets 0..3
+        as done and silently never extract part of the corpus."""
+        return {
+            p["num_buckets"] for p in self._manifests() if "num_buckets" in p
+        }
+
+    def commit(
+        self, seq: int, buckets: list[int], metrics: dict, num_buckets: int | None = None
+    ) -> None:
         """Publish manifest atomically: temp write + rename."""
         payload = {"seq": seq, "buckets": sorted(buckets), "metrics": metrics}
+        if num_buckets is not None:
+            payload["num_buckets"] = num_buckets
         blob = json.dumps(payload).encode()
         tmp_name = f".tmp-{uuid.uuid4().hex}"
         final_name = f"commit-{seq:06d}.json"
@@ -180,6 +195,32 @@ def bucket_of(col, num_buckets: int):
     return F.pmod(F.xxhash64(col), F.lit(num_buckets)).cast("int")
 
 
+def batch_metrics(extracted: DataFrame) -> dict:
+    """Lineage metrics for one committed batch: docs / spans / chars."""
+    m = extracted.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.size("spans")).alias("spans"),
+        F.sum(
+            F.aggregate(
+                # coalesce: OUT_SPAN.text is nullable, and one NULL
+                # would null the whole doc's fold — F.sum then silently
+                # drops the doc from chars while docs/spans count it
+                F.transform(
+                    "spans",
+                    lambda s: F.coalesce(F.length(s["text"]), F.lit(0)),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+        ).alias("chars"),
+    ).first()
+    return {
+        "docs": int(m["docs"] or 0),
+        "spans": int(m["spans"] or 0),
+        "chars": int(m["chars"] or 0),
+    }
+
+
 def extract_with_checkpoint(
     corpus: DataFrame,
     table_path: str,
@@ -199,6 +240,14 @@ def extract_with_checkpoint(
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     log = CommitLog(table_path, spark)
+    prior = log.recorded_num_buckets()
+    if prior and prior != {num_buckets}:
+        raise ValueError(
+            f"resume num_buckets={num_buckets} does not match the table's "
+            f"committed bucket space {sorted(prior)}: committed bucket ids "
+            "are only valid in their own hash space, so continuing would "
+            "silently skip unprocessed documents"
+        )
     done = log.completed_buckets()
     pending = [b for b in range(num_buckets) if b not in done]
 
@@ -217,25 +266,10 @@ def extract_with_checkpoint(
             extracted.persist()
             try:
                 extracted.write.mode("overwrite").partitionBy("bucket").parquet(table_path)
-                m = extracted.agg(
-                    F.count("*").alias("docs"),
-                    F.sum(F.size("spans")).alias("spans"),
-                    F.sum(
-                        F.aggregate(
-                            F.transform("spans", lambda s: F.length(s["text"])),
-                            F.lit(0).cast("long"),
-                            lambda a, x: a + x,
-                        )
-                    ).alias("chars"),
-                ).first()
-                metrics = {
-                    "docs": int(m["docs"] or 0),
-                    "spans": int(m["spans"] or 0),
-                    "chars": int(m["chars"] or 0),
-                }
+                metrics = batch_metrics(extracted)
             finally:
                 extracted.unpersist()
-            log.commit(seq, group, metrics)
+            log.commit(seq, group, metrics, num_buckets=num_buckets)
             seq += 1
             processed += 1
             if fail_after_batches is not None and processed >= fail_after_batches:

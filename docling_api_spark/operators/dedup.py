@@ -164,6 +164,7 @@ def incremental_near_dup(
     num_hashes: int = 32,
     bands: int = 16,
     threshold: float = 0.8,
+    caches: list | None = None,
 ) -> DataFrame:
     """Batch-vs-corpus near-dup (the daily-ingest shape): for each NEW
     doc, verified Jaccard ≥ threshold matches against the EXISTING
@@ -180,8 +181,13 @@ def incremental_near_dup(
     store; the join/verify shape is identical either way. The small
     batch side persists (read by both the band probe and the verify);
     the corpus side is deliberately NOT cached — caching 100 TB of
-    shingles is worse than the extra scan."""
+    shingles is worse than the extra scan. A repeated caller (the
+    streaming foreachBatch twin) passes ``caches`` to receive the
+    persisted handle and unpersist it once its action completes —
+    otherwise one pinned shingle table leaks per invocation."""
     sh_new = shingle_table(new_docs, text_col, id_col, shingle_n).persist()
+    if caches is not None:
+        caches.append(sh_new)
     sh_old = shingle_table(corpus_docs, text_col, id_col, shingle_n)
     b_new = banded_keys(sh_new, num_hashes, bands)
     b_old = banded_keys(sh_old, num_hashes, bands)

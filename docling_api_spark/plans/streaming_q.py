@@ -57,7 +57,19 @@ def streaming_sessionize(spark, sf_dir):
     # read would masquerade as a semantics regression)
     if not q.awaitTermination(300):
         raise RuntimeError("streaming drain timed out")
-    return spark.table(name)
+    # update-mode memory sink: each micro-batch APPENDS that batch's
+    # updated users, so reduce to final state per user. Both outputs
+    # are monotone (counts only grow), so max IS the last update —
+    # exact however availableNow sliced the backlog (single batch
+    # here, where this is a no-op reshape).
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),
+            F.max("n_events").alias("n_events"),
+        )
+    )
 
 
 @query(
@@ -177,4 +189,6 @@ def streaming_incremental_dedup(spark, sf_dir):
     # fail LOUDLY on timeout instead of reading a mid-stream sink
     if not q.awaitTermination(300):
         raise RuntimeError("streaming drain timed out")
-    return spark.read.parquet(out)
+    # the sink is one batch=<id> partition dir per micro-batch (the
+    # idempotent-replay discipline) — drop the partition column
+    return spark.read.parquet(out).select("a", "b", "jac")

@@ -105,7 +105,12 @@ def stream_metrics_query(
     query_name: str = "stream_metrics",
 ) -> StreamingQuery:
     """Streaming twin of the windowed metrics over a parquet events
-    dir; update-mode in-memory sink for inspection/tests."""
+    dir; COMPLETE-mode in-memory sink for inspection/tests (every
+    batch re-emits all windows, so the final table is the full state
+    regardless of how availableNow slices the backlog). Note complete
+    mode never evicts window state — the watermark only bounds
+    lateness, not memory — so a long-lived production stream would use
+    update/append mode with a real sink instead of this test helper."""
     schema = spark.read.parquet(events_path).schema
     stream = spark.readStream.schema(schema).parquet(events_path)
     metrics = stream_windowed_metrics(stream)
@@ -134,8 +139,14 @@ def stream_sessionize(
 
     This is the streaming twin of the batch ``sessionize_events`` plan
     (lag + conditional cumsum) — with all data in one availableNow
-    batch the two agree exactly (tested). Update-mode memory sink
-    ``stream_sessions`` for inspection.
+    batch the two agree exactly (tested). Gaps compare in exact
+    MICROSECONDS (unix_micros), the same integer precision the batch
+    plan and the DuckDB oracle use — truncating to whole seconds would
+    silently merge sessions whose true gap is in (gap, gap+1).
+    Update-mode memory sink ``stream_sessions`` for inspection; each
+    batch appends that batch's updated users, so readers must reduce
+    to final state per user (both outputs are monotone — take max),
+    which the registered query does.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -150,8 +161,9 @@ def stream_sessionize(
     events = stream.select(
         "user_id",
         F.col("event_id"),
-        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("tsec"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsec"),
     )
+    gap_micros = gap_seconds * 1_000_000
 
     out_type = StructType(
         [
@@ -183,9 +195,14 @@ def stream_sessionize(
         )
         for t in batch["tsec"]:
             t = int(t)
-            if last_ts is None or t - last_ts > gap_seconds:
+            if last_ts is None or t - last_ts > gap_micros:
                 n_sessions += 1
-            last_ts = t
+            # max, not assignment: a later micro-batch can deliver an
+            # event OLDER than the state's last_ts (late file); folding
+            # it is the documented cross-batch inaccuracy, but rewinding
+            # last_ts would also fabricate a session for the next
+            # in-order event — keep the watermark of time seen instead
+            last_ts = t if last_ts is None else max(last_ts, t)
             n_events += 1
         state.update((last_ts, n_sessions, n_events))
         yield pd.DataFrame(
@@ -224,10 +241,15 @@ def stream_ingest(
     streaming only allows under a watermark — and doc reassembly has
     no event time. The idiomatic mapping is ``foreachBatch``: each
     micro-batch (a set of whole corpus files — docs never split across
-    files) runs the standard *batch* lineage and appends its output.
-    The streaming checkpoint still provides no-reprocessing resume;
-    with ``availableNow`` this is the reference's "drain the queue"
-    worker loop.
+    files) runs the standard *batch* lineage and writes its output.
+    foreachBatch re-runs a batch whose offsets never committed, so the
+    sink write must be IDEMPOTENT per batch_id to be exactly-once —
+    each batch overwrites its own ``batch=<id>`` partition directory
+    (the dynamic-partition-overwrite discipline checkpoint.py uses),
+    so a replay after a crash-between-write-and-commit replaces the
+    partial output instead of appending a duplicate. With
+    ``availableNow`` this is the reference's "drain the queue" worker
+    loop.
     """
     from docling_api_spark.operators.chunk import chunk_extracted
     from docling_api_spark.operators.embed import embed_chunks
@@ -239,7 +261,7 @@ def stream_ingest(
         extracted = extract(batch_df, salt_partitions=0)
         chunks = chunk_extracted(extracted, max_tokens=max_tokens)
         embedded = embed_chunks(chunks, text_col="context")
-        embedded.write.mode("append").parquet(chunks_path)
+        embedded.write.mode("overwrite").parquet(f"{chunks_path}/batch={batch_id}")
 
     return (
         corpus.writeStream.foreachBatch(ingest_batch)
@@ -313,8 +335,15 @@ def stream_incremental_near_dup(
     verified matches depend only on that doc and the static corpus,
     so however availableNow slices the backlog into micro-batches, the
     union of per-batch outputs equals the single-batch computation —
-    exactly the equality the oracle checks. Exactly-once lands on the
-    parquet sink through the foreachBatch checkpoint.
+    exactly the equality the oracle checks. The sink write is
+    IDEMPOTENT per batch_id (each batch overwrites its own
+    ``batch=<id>`` partition directory): foreachBatch re-runs a batch
+    whose offsets never committed, and a blind append there would land
+    duplicate match rows — overwrite-own-partition makes the replay
+    exactly-once. The batch-side shingle cache the operator pins (read
+    by both band probe and verify) is explicitly unpersisted after the
+    blocking write — one leaked cache per micro-batch would accumulate
+    for the life of the stream.
     """
     from docling_api_spark.operators.dedup import incremental_near_dup
 
@@ -333,8 +362,15 @@ def stream_incremental_near_dup(
     static_corpus = spark.read.parquet(docs_path).select("doc_id", "text")
 
     def probe(batch_df, batch_id):
-        out = incremental_near_dup(batch_df, static_corpus, threshold=threshold)
-        out.write.mode("append").parquet(out_path)
+        caches: list = []
+        out = incremental_near_dup(
+            batch_df, static_corpus, threshold=threshold, caches=caches
+        )
+        try:
+            out.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+        finally:
+            for c in caches:
+                c.unpersist()
 
     return (
         new_docs.writeStream.foreachBatch(probe)

@@ -146,3 +146,38 @@ def test_torn_lower_seq_never_collides_resume(spark, tmp_path):
     assert log.next_seq() == 6
     log.commit(log.next_seq(), [2], {"docs": 1, "spans": 1, "chars": 1})
     assert log.completed_buckets() == {1, 2}
+
+
+def test_resume_with_different_num_buckets_refuses(spark, corpus, tmp_path):
+    """Committed bucket ids are only meaningful in their own hash
+    space: resuming a num_buckets=8 table with num_buckets=4 would
+    treat new-space buckets 0..3 as done (they match old ids) and
+    silently never extract part of the corpus. The resume must refuse
+    loudly instead."""
+    out = str(tmp_path / "t")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        extract_with_checkpoint(
+            corpus, out, num_buckets=8, batch_buckets=2, fail_after_batches=1
+        )
+    with pytest.raises(ValueError, match="num_buckets"):
+        extract_with_checkpoint(corpus, out, num_buckets=4, batch_buckets=2)
+    # same bucket count resumes fine and completes the table
+    res = extract_with_checkpoint(corpus, out, num_buckets=8, batch_buckets=2)
+    assert res["skipped_buckets"] == [0, 1]
+
+
+def test_chars_metric_survives_null_text_span(spark):
+    """A NULL span text (OUT_SPAN.text is nullable) must not null the
+    whole doc's char fold — F.sum would then silently drop the doc
+    from the lineage chars metric while docs/spans still count it."""
+    from docling_api_spark.checkpoint import batch_metrics
+
+    extracted = spark.createDataFrame(
+        [
+            ("a", [("text", "hello", "", 0), ("image", None, "a/m0", 1)]),
+            ("b", [("text", "worlds", "", 0)]),
+        ],
+        "doc_id string, spans array<struct<"
+        "kind string, text string, media_ref string, `order` int>>",
+    )
+    assert batch_metrics(extracted) == {"docs": 2, "spans": 3, "chars": 11}

@@ -214,3 +214,26 @@ def test_streaming_dedup_incremental_resume(spark, tmp_path):
     progress = q2.lastProgress
     assert progress is not None
     assert progress["numInputRows"] == 3 * n_part2, progress["numInputRows"]
+
+
+def test_sessionize_microsecond_gap_boundary(spark, tmp_path):
+    """Gaps compare in exact microseconds: a true gap of 1800.5 s is a
+    NEW session (> 30 min) in the batch plan and the DuckDB oracle, but
+    whole-second truncation could compute floor-diff == 1800 and merge
+    it. Plant the boundary straddle and require two sessions."""
+    from docling_api_spark.streaming.pipeline import stream_sessionize
+
+    events_path = str(tmp_path / "events")
+    spark.createDataFrame(
+        [
+            (1, 10, "2024-01-01 00:00:00.600000"),
+            (1, 11, "2024-01-01 00:30:01.100000"),  # gap = 1800.5 s
+            (1, 12, "2024-01-01 00:40:01.100000"),  # gap = 600 s: same session
+        ],
+        "user_id long, event_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(events_path)
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_sessionize(spark, events_path, ckpt, query_name="us_boundary")
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM us_boundary").collect()
+    assert [(r.user_id, r.n_sessions, r.n_events) for r in rows] == [(1, 2, 3)]
