@@ -315,7 +315,11 @@ PAGE_RENDER_W = 850
 PAGE_RENDER_H = 1100
 
 
-def media_table(flat: DataFrame, media_dims: DataFrame | None = None) -> DataFrame:
+def media_table(
+    flat: DataFrame,
+    media_dims: DataFrame | None = None,
+    caches: list | None = None,
+) -> DataFrame:
     """Side table of extracted media (reference ExtractedImage,
     core/models.py:356-394): one row per image span, captions attached
     when the immediately-following span is a caption.
@@ -336,15 +340,27 @@ def media_table(flat: DataFrame, media_dims: DataFrame | None = None) -> DataFra
     the dominant cost at any scale). In production these sidecar views
     read the materialized extraction table; the cache stands in for it
     (same pattern as the cached self-join inputs, pinned by
-    tests/test_plan_contracts.py)."""
+    tests/test_plan_contracts.py). A repeated caller passes ``caches``
+    to receive the persisted handle and unpersist it after its action
+    completes (the driver registry clears caches between queries;
+    long-lived sessions calling this in a loop should not rely on
+    LRU eviction)."""
     flat = flat.persist()
+    if caches is not None:
+        caches.append(flat)
     img = flat.filter(F.col("kind") == "image")
     from pyspark.sql import Window as W
 
     w = W.partitionBy("doc_id").orderBy("raw_offset", "local_order")
+    # lead over ALL spans, THEN filter: "immediately-following span is
+    # a caption" means adjacency in the real span sequence. A lead over
+    # a kind-filtered subset measures adjacency after deleting every
+    # intervening span of other kinds, so an uncaptioned image would
+    # steal the caption of a following table ([image, table,
+    # caption-of-table] → image gets the caption). Found by review;
+    # the synthetic corpus never exposes it (captions always adjacent).
     cap = (
-        flat.filter(F.col("kind").isin("image", "caption"))
-        .withColumn("next_kind", F.lead("kind").over(w))
+        flat.withColumn("next_kind", F.lead("kind").over(w))
         .withColumn("next_text", F.lead("text").over(w))
         .filter(F.col("kind") == "image")
         .select(
@@ -368,8 +384,16 @@ def media_table(flat: DataFrame, media_dims: DataFrame | None = None) -> DataFra
         "caption",
     )
     if media_dims is not None:
+        # dropDuplicates: media_ref is the RAW source src, shared when
+        # two docs embed the same asset — duplicate dims rows would
+        # multiply output rows through the ref-keyed left join. The
+        # same ref means the same bytes, so any one dims row is correct.
         embedded = embedded.join(
-            media_dims.select("media_ref", "width", "height"), "media_ref", "left"
+            media_dims.select("media_ref", "width", "height").dropDuplicates(
+                ["media_ref"]
+            ),
+            "media_ref",
+            "left",
         ).select(  # restore column order after the ref-keyed join
             "doc_id", "media_ref", "media_index", "page_number",
             "media_type", "bbox", "caption", "width", "height",
@@ -423,30 +447,66 @@ def tables_table(flat: DataFrame) -> DataFrame:
     from pyspark.sql import Window as W
 
     w = W.partitionBy("doc_id").orderBy("raw_offset", "local_order")
+    # lead over ALL spans, THEN filter (same adjacency reasoning as
+    # media_table): a lead over the table/caption subset would let an
+    # uncaptioned table steal the caption of a following figure
     tbl = (
-        flat.filter(F.col("kind").isin("table", "caption"))
-        .withColumn("next_kind", F.lead("kind").over(w))
+        flat.withColumn("next_kind", F.lead("kind").over(w))
         .withColumn("next_text", F.lead("text").over(w))
         .filter(F.col("kind") == "table")
     )
     rows = F.split(F.col("text"), "\n")
-    first_row_cells = F.split(F.element_at(rows, 1), r" \| ")
+    row_cells = lambda r: F.split(r, r" \| ")  # noqa: E731
+    # column count = MAX cells across rows, not the first row's:
+    # tag-soup-recovered tables can be ragged, and a first-row count
+    # would under-report num_cols and emit a short markdown header
+    num_cols = F.array_max(F.transform(rows, lambda r: F.size(row_cells(r))))
     header_sep = F.concat(
         F.lit("|"),
-        F.array_join(F.transform(first_row_cells, lambda _: F.lit(" --- |")), ""),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), num_cols), lambda _: F.lit(" --- |")), ""
+        ),
     )
+    # cell content can contain a bare '|' (never ' | ' — that is the
+    # format's separator): escape it for markdown or the cell splits
+    # into extra columns in any renderer
     md_rows = F.transform(
-        rows, lambda r: F.concat(F.lit("| "), F.regexp_replace(r, r" \| ", " | "), F.lit(" |"))
+        rows,
+        lambda r: F.concat(
+            F.lit("| "),
+            F.array_join(
+                F.transform(row_cells(r), lambda c: F.replace(c, F.lit("|"), F.lit(r"\|"))),
+                " | ",
+            ),
+            F.lit(" |"),
+        ),
     )
     markdown = F.concat(
         F.element_at(md_rows, 1),
         F.lit("\n"),
         header_sep,
-        F.when(F.size(rows) > 1, F.concat(F.lit("\n"), F.array_join(F.slice(md_rows, 2, 100000), "\n"))).otherwise(
-            F.lit("")
-        ),
+        F.when(
+            F.size(rows) > 1,
+            # length = size - 1, not a magic cap: a fixed cap silently
+            # truncated the markdown of very long tables while csv/html
+            # kept every row
+            F.concat(
+                F.lit("\n"), F.array_join(F.slice(md_rows, F.lit(2), F.size(md_rows) - 1), "\n")
+            ),
+        ).otherwise(F.lit("")),
     )
-    csv = F.array_join(F.transform(rows, lambda r: F.regexp_replace(r, r" \| ", ",")), "\n")
+    # RFC-4180 quoting: a cell containing a comma, quote, or newline is
+    # wrapped in double quotes with inner quotes doubled — unquoted
+    # commas are normal prose ('1,000 units') and would shift every
+    # following column for any CSV parser
+    quoted = lambda c: F.when(  # noqa: E731
+        c.rlike('[",\n\r]'),
+        F.concat(F.lit('"'), F.replace(c, F.lit('"'), F.lit('""')), F.lit('"')),
+    ).otherwise(c)
+    csv = F.array_join(
+        F.transform(rows, lambda r: F.array_join(F.transform(row_cells(r), quoted), ",")),
+        "\n",
+    )
     html = F.concat(
         F.lit("<table>"),
         F.array_join(
@@ -468,7 +528,7 @@ def tables_table(flat: DataFrame) -> DataFrame:
         "local_order",
         F.col("page").alias("page_number"),
         F.size(rows).cast("int").alias("num_rows"),
-        F.size(first_row_cells).cast("int").alias("num_cols"),
+        num_cols.cast("int").alias("num_cols"),
         F.when(F.col("next_kind") == "caption", F.col("next_text")).alias("caption"),
         markdown.alias("markdown"),
         html.alias("html"),

@@ -56,6 +56,8 @@ EXTRACTED = T.StructType(
 
 # Flat per-span frame used inside the extraction pipeline between the
 # mapInPandas kernel and the per-doc reassembly (one row per OUTPUT span).
+# Must stay in sync with operators/extract.py FLAT_DDL (the executable
+# copy the mapInPandas stage declares) — pinned by a test.
 EXTRACT_FLAT = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),
@@ -65,6 +67,7 @@ EXTRACT_FLAT = T.StructType(
         T.StructField("text", T.StringType(), True),
         T.StructField("media_ref", T.StringType(), True),
         T.StructField("page", T.IntegerType(), True),
+        T.StructField("bbox", T.StringType(), True),
     ]
 )
 

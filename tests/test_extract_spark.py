@@ -254,3 +254,71 @@ def test_tag_soup_corpus_satisfies_audit_invariants(spark):
     errs = {r["doc_id"]: r for r in extract_errors(corpus, salt_partitions=4).collect()}
     assert set(errs) == {"nan_pdf"}
     assert errs["nan_pdf"]["error_message"].startswith("ValueError")
+
+
+def _flat(spark, rows):
+    from docling_api_spark.operators.extract import FLAT_DDL
+
+    return spark.createDataFrame(rows, FLAT_DDL)
+
+
+def test_caption_attaches_only_to_truly_adjacent_span(spark):
+    """'Immediately-following span is a caption' means adjacency in the
+    REAL span sequence. A lead over a kind-filtered subset deletes
+    intervening spans of other kinds, so an uncaptioned table would
+    steal the caption of a following figure and an uncaptioned image
+    the caption of a following table (found by review; the synthetic
+    corpus keeps captions adjacent and never exposes it)."""
+    from docling_api_spark.operators.extract import media_table, tables_table
+
+    # doc A: [table, image, caption-of-image]  → table caption NULL
+    # doc B: [image, table, caption-of-table]  → image caption NULL
+    rows = [
+        ("A", 0, 0, "table", "h | v", "", 0, None),
+        ("A", 0, 1, "image", "fig", "A/m0", 0, None),
+        ("A", 0, 2, "caption", "cap of A image", "", 0, None),
+        ("B", 0, 0, "image", "fig", "B/m0", 0, None),
+        ("B", 0, 1, "table", "h | v", "", 0, None),
+        ("B", 0, 2, "caption", "cap of B table", "", 0, None),
+    ]
+    flat = _flat(spark, rows)
+    t = {r["doc_id"]: r["caption"] for r in tables_table(flat).collect()}
+    assert t == {"A": None, "B": "cap of B table"}
+    m = {
+        r["doc_id"]: r["caption"]
+        for r in media_table(flat).filter("media_type = 'embedded'").collect()
+    }
+    assert m == {"A": "cap of A image", "B": None}
+
+
+def test_table_renders_ragged_commas_and_pipes(spark):
+    """Render hardening: ragged rows report max column count (and the
+    markdown header matches it), a cell containing a comma is RFC-4180
+    quoted in the csv, and a bare '|' inside a cell is escaped in the
+    markdown instead of splitting into an extra column."""
+    from docling_api_spark.operators.extract import tables_table
+
+    text = "h1 | h2\na|b | 1,000 units | x"
+    flat = _flat(spark, [("D", 0, 0, "table", text, "", 0, None)])
+    r = tables_table(flat).first()
+    assert (r["num_rows"], r["num_cols"]) == (2, 3)
+    assert r["csv"] == 'h1,h2\na|b,"1,000 units",x'
+    assert r["markdown"].splitlines() == [
+        "| h1 | h2 |",
+        "| --- | --- | --- |",
+        r"| a\|b | 1,000 units | x |",
+    ]
+
+
+def test_flat_ddl_matches_schema_extract_flat(spark):
+    """operators/extract.py FLAT_DDL is the executable copy of
+    schema.EXTRACT_FLAT — they must not drift."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from docling_api_spark.operators.extract import FLAT_DDL
+    from docling_api_spark.schema import EXTRACT_FLAT
+
+    parsed = _parse_datatype_string(FLAT_DDL)
+    assert [(f.name, f.dataType) for f in parsed.fields] == [
+        (f.name, f.dataType) for f in EXTRACT_FLAT.fields
+    ]
