@@ -257,6 +257,17 @@ def cosine(a: Column, b: Column, scale: int = 6) -> Column:
     """Cosine similarity of two float arrays, accumulated in DOUBLE in
     index order (bit-compatible with the DuckDB twin that sums
     ``list_transform(range(...))`` in the same order), rounded.
+
+    Undefined (NULL) when either side has zero norm: under Spark 4's
+    default ANSI mode an unguarded double ``0.0/0.0`` raises
+    DIVIDE_BY_ZERO and aborts the JOB — one all-zero embedding (real
+    model providers emit them for empty inputs) must not kill a 100 TB
+    query. NULL fails every ``>= threshold`` filter and sorts last
+    under ``(sim DESC, id)``, so zero vectors drop out of pair results
+    and rank last in top-k on both engines (SQL twin:
+    plans/_sql.py:cosine, same CASE guard; DuckDB default DESC is also
+    NULLS LAST). The norms are let-bound so the guard adds no second
+    evaluation of the aggregate HOFs on the hot brute-force paths.
     """
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
@@ -270,7 +281,16 @@ def cosine(a: Column, b: Column, scale: int = 6) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return F.round(dot / (F.sqrt(na) * F.sqrt(nb)), scale)
+    return let(
+        na,
+        lambda bna: let(
+            nb,
+            lambda bnb: F.when(
+                (bna > 0) & (bnb > 0),
+                F.round(dot / (F.sqrt(bna) * F.sqrt(bnb)), scale),
+            ),
+        ),
+    )
 
 
 def md5_grid(prefix: str, rows: int, dim: int) -> list[list[float]]:

@@ -449,12 +449,22 @@ def semdedup(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # CASE-guarded like functions/hashing.py:cosine — a zero-norm
+    # vector pair sharing a cell must yield NULL (undefined, fails the
+    # threshold), not an ANSI DIVIDE_BY_ZERO job abort. The guard rides
+    # INSIDE the similarity expression (not a separate .filter) so the
+    # division is conditionally evaluated regardless of how Catalyst
+    # reorders conjunctive predicates.
+    sim = F.when(
+        (F.col("l.nrm") > 0) & (F.col("r.nrm") > 0),
+        F.round(dot / (F.col("l.nrm") * F.col("r.nrm")), scale),
+    )
     dropped = (
         left.join(
             right,
             (F.col("l.cell") == F.col("r.cell")) & (F.col("l.id") < F.col("r.id")),
         )
-        .filter(F.round(dot / (F.col("l.nrm") * F.col("r.nrm")), scale) >= threshold)
+        .filter(sim >= threshold)
         .select(F.col("r.id").alias("id"))
         .distinct()
         .withColumn("dropped", F.lit(True))

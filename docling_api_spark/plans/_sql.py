@@ -84,11 +84,19 @@ def fingerprint(t: str, mod: int = 1_000_000_007) -> str:
 
 
 def cosine(a: str, b: str, dim: int, scale: int = 6) -> str:
-    """Cosine accumulated in DOUBLE in index order (= Spark twin)."""
+    """Cosine accumulated in DOUBLE in index order (= Spark twin).
+
+    NULL when either norm is zero — mirrors the zero-norm guard in
+    functions/hashing.py:cosine (Spark's ANSI mode would abort on
+    0.0/0.0; both engines must agree that cosine of a zero vector is
+    undefined and fails every threshold filter)."""
     dot = f"list_sum([CAST({a}[i] AS DOUBLE)*CAST({b}[i] AS DOUBLE) for i in range(1,{dim + 1})])"
     na = f"list_sum([CAST({a}[i] AS DOUBLE)*CAST({a}[i] AS DOUBLE) for i in range(1,{dim + 1})])"
     nb = f"list_sum([CAST({b}[i] AS DOUBLE)*CAST({b}[i] AS DOUBLE) for i in range(1,{dim + 1})])"
-    return f"ROUND(({dot})/(sqrt({na})*sqrt({nb})), {scale})"
+    return (
+        f"CASE WHEN ({na}) > 0 AND ({nb}) > 0 "
+        f"THEN ROUND(({dot})/(sqrt({na})*sqrt({nb})), {scale}) END"
+    )
 
 
 def md5_grid_cte(name: str, prefix: str, rows: int, dim: int, idcol: str, veccol: str) -> str:

@@ -297,7 +297,7 @@ def embedding_quantize_int8(spark, sf_dir):
                ROUND(qdot / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(rn AS DOUBLE))), 6)
                    AS qcos
         FROM s
-        WHERE qn > 0
+        WHERE qn > 0 AND rn > 0
         ORDER BY qcos DESC, vec_id
         LIMIT 10
     """,
@@ -332,7 +332,10 @@ def ann_quantized_topk(spark, sf_dir):
         )
     )
     return (
-        scored.filter(F.col("qn") > 0)
+        # qn/rn > 0 guards the ANSI division on BOTH engines: all-zero
+        # vectors quantize to all-zero q (quantize_int8's documented
+        # guard), and an unguarded 0/0 aborts the job under ANSI
+        scored.filter((F.col("qn") > 0) & (F.col("rn") > 0))
         .select(
             "vec_id",
             F.round(

@@ -71,6 +71,15 @@ class TestPptxRecovery:
         spans = extract_pptx_slide('<p:sp type="body"><a:p bullet="1"><a:t>dangling</a:t>')
         assert [(s["kind"], s["text"]) for s in spans] == [("list_item", "dangling")]
 
+    def test_escaped_angle_brackets_stay_literal(self):
+        # strip-tags-then-unescape: escaped markup in run text is
+        # CONTENT, on the recovery path exactly as on the closed one
+        spans = extract_pptx_slide(
+            '<p:sp type="body"><a:p><a:t>keep &lt;tag&gt; literal</a:t></a:p></p:sp>'
+        )
+        assert [s["text"] for s in spans] == ["keep <tag> literal"]
+        assert extract_pptx_slide('<p:sp type="title"><a:t>&lt;tag&gt;')[0]["text"] == "<tag>"
+
 
 class TestXlsxRecovery:
     def test_unclosed_sheet_at_eof_keeps_grid(self):
@@ -141,7 +150,12 @@ def test_pptx_tag_soup_safety(frags):
     )
     for s in spans:
         assert s["kind"] in KINDS
-        assert "<" not in s["text"]
+        # no raw-markup leak: the ONLY legitimate `<` in this
+        # generator's output is the entity-unescaped `<tag>` (the
+        # kernel's documented strip-tags-then-unescape order — pinned
+        # well-formed by test_escaped_angle_brackets_stay_literal);
+        # any other `<` is a leaked source tag
+        assert "<" not in s["text"].replace("<tag>", "")
         for w in _WORD_RE.findall(s["text"]):
             assert w in input_words, (w, xml)
 
@@ -157,6 +171,6 @@ def test_xlsx_tag_soup_safety(frags):
     )
     for s in spans:
         assert s["kind"] in KINDS
-        assert "<" not in s["text"]
+        assert "<" not in s["text"].replace("<tag>", "")
         for w in _WORD_RE.findall(s["text"]):
             assert w in input_words, (w, xml)
