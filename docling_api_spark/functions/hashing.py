@@ -258,16 +258,28 @@ def cosine(a: Column, b: Column, scale: int = 6) -> Column:
     index order (bit-compatible with the DuckDB twin that sums
     ``list_transform(range(...))`` in the same order), rounded.
 
-    Undefined (NULL) when either side has zero norm: under Spark 4's
-    default ANSI mode an unguarded double ``0.0/0.0`` raises
-    DIVIDE_BY_ZERO and aborts the JOB — one all-zero embedding (real
-    model providers emit them for empty inputs) must not kill a 100 TB
-    query. NULL fails every ``>= threshold`` filter and sorts last
-    under ``(sim DESC, id)``, so zero vectors drop out of pair results
-    and rank last in top-k on both engines (SQL twin:
-    plans/_sql.py:cosine, same CASE guard; DuckDB default DESC is also
-    NULLS LAST). The norms are let-bound so the guard adds no second
-    evaluation of the aggregate HOFs on the hot brute-force paths.
+    Undefined (NULL) unless both norms are positive AND finite:
+
+    * zero norm — under Spark 4's default ANSI mode an unguarded
+      double ``0.0/0.0`` raises DIVIDE_BY_ZERO and aborts the JOB; one
+      all-zero embedding (real model providers emit them for empty
+      inputs) must not kill a 100 TB query;
+    * non-finite norm (a NaN/±inf component) — both engines sort NaN
+      GREATER than everything, so an unguarded corrupt vector would
+      rank FIRST in every top-k and pass every ``>= threshold``
+      filter. Finite norms imply every component is finite, which
+      bounds the dot product finite too, so guarding the norms alone
+      is complete.
+
+    ``norm < inf`` rejects NaN and +inf in one predicate on BOTH
+    engines (NaN compares greater, so ``NaN < inf`` is false in Spark
+    and DuckDB alike). NULL fails every ``>= threshold`` filter and
+    sorts last under ``(sim DESC, id)``, so zero/corrupt vectors drop
+    out of pair results and rank last in top-k on both engines (SQL
+    twin: plans/_sql.py:cosine, same CASE guard; DuckDB default DESC
+    is also NULLS LAST). The norms are let-bound so the guard adds no
+    second evaluation of the aggregate HOFs on the hot brute-force
+    paths.
     """
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
@@ -281,12 +293,13 @@ def cosine(a: Column, b: Column, scale: int = 6) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    inf = F.lit(float("inf"))
     return let(
         na,
         lambda bna: let(
             nb,
             lambda bnb: F.when(
-                (bna > 0) & (bnb > 0),
+                (bna > 0) & (bna < inf) & (bnb > 0) & (bnb < inf),
                 F.round(dot / (F.sqrt(bna) * F.sqrt(bnb)), scale),
             ),
         ),

@@ -451,12 +451,18 @@ def semdedup(
     )
     # CASE-guarded like functions/hashing.py:cosine — a zero-norm
     # vector pair sharing a cell must yield NULL (undefined, fails the
-    # threshold), not an ANSI DIVIDE_BY_ZERO job abort. The guard rides
-    # INSIDE the similarity expression (not a separate .filter) so the
+    # threshold), not an ANSI DIVIDE_BY_ZERO job abort; `< inf`
+    # additionally rejects NaN/inf norms from corrupt components (NaN
+    # compares greater, so it fails `< inf`). The guard rides INSIDE
+    # the similarity expression (not a separate .filter) so the
     # division is conditionally evaluated regardless of how Catalyst
     # reorders conjunctive predicates.
+    _inf = F.lit(float("inf"))
     sim = F.when(
-        (F.col("l.nrm") > 0) & (F.col("r.nrm") > 0),
+        (F.col("l.nrm") > 0)
+        & (F.col("l.nrm") < _inf)
+        & (F.col("r.nrm") > 0)
+        & (F.col("r.nrm") < _inf),
         F.round(dot / (F.col("l.nrm") * F.col("r.nrm")), scale),
     )
     dropped = (

@@ -153,18 +153,30 @@ def quantize_int8(vec: Column) -> Column:
     This is the storage/bandwidth form of the ANN path at 100 TB —
     4× smaller vectors, integer dot products (order-free, so bucket
     scoring is bit-stable across partitionings). All-zero vectors
-    quantize to zeros (guard, not NaN — ANSI-safe).
+    quantize to zeros (guard, not NaN — ANSI-safe); non-finite
+    components quantize to NULL and are excluded from the scale (an
+    ANSI cast of NaN/±inf to INT aborts the job — a corrupt vector
+    must degrade per-component, not kill the query). ``abs(x) < inf``
+    is false for NaN on both engines, so one predicate covers both
+    corruption shapes.
 
-    DuckDB twin: same ops on doubles; both engines' ROUND are
-    half-away-from-zero and IEEE division/multiplication are exact,
-    so q is bit-identical.
+    DuckDB twin (plans/sampling_q._QUANT_CTE): same ops on doubles;
+    both engines' ROUND are half-away-from-zero and IEEE
+    division/multiplication are exact, so q is bit-identical.
     """
 
     def build(v: Column) -> Column:
-        scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+        inf = F.lit(float("inf"))
+        absd = F.transform(v, lambda x: F.abs(x.cast("double")))
+        scale = F.coalesce(
+            F.array_max(F.filter(absd, lambda a: a < inf)), F.lit(0.0)
+        )
         q = F.transform(
             v,
-            lambda x: F.when(scale == 0.0, F.lit(0))
+            lambda x: F.when(
+                ~(F.abs(x.cast("double")) < inf), F.lit(None).cast("int")
+            )
+            .when(scale == 0.0, F.lit(0))
             .otherwise(F.round(x.cast("double") / scale * 127, 0).cast("int")),
         )
         return F.struct(scale.alias("scale"), q.alias("q"))

@@ -86,15 +86,19 @@ def fingerprint(t: str, mod: int = 1_000_000_007) -> str:
 def cosine(a: str, b: str, dim: int, scale: int = 6) -> str:
     """Cosine accumulated in DOUBLE in index order (= Spark twin).
 
-    NULL when either norm is zero — mirrors the zero-norm guard in
-    functions/hashing.py:cosine (Spark's ANSI mode would abort on
-    0.0/0.0; both engines must agree that cosine of a zero vector is
-    undefined and fails every threshold filter)."""
+    NULL unless both norms are positive and finite — mirrors the
+    guard in functions/hashing.py:cosine (Spark's ANSI mode would
+    abort on 0.0/0.0, and a NaN norm sorts GREATER than everything on
+    both engines, topping every top-k; ``< inf`` rejects NaN and +inf
+    in one predicate because NaN compares greater in DuckDB too).
+    Both engines agree cosine of a zero/corrupt vector is undefined
+    and fails every threshold filter."""
     dot = f"list_sum([CAST({a}[i] AS DOUBLE)*CAST({b}[i] AS DOUBLE) for i in range(1,{dim + 1})])"
     na = f"list_sum([CAST({a}[i] AS DOUBLE)*CAST({a}[i] AS DOUBLE) for i in range(1,{dim + 1})])"
     nb = f"list_sum([CAST({b}[i] AS DOUBLE)*CAST({b}[i] AS DOUBLE) for i in range(1,{dim + 1})])"
+    inf = "CAST('inf' AS DOUBLE)"
     return (
-        f"CASE WHEN ({na}) > 0 AND ({nb}) > 0 "
+        f"CASE WHEN ({na}) > 0 AND ({na}) < {inf} AND ({nb}) > 0 AND ({nb}) < {inf} "
         f"THEN ROUND(({dot})/(sqrt({na})*sqrt({nb})), {scale}) END"
     )
 

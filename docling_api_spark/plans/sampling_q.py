@@ -223,13 +223,16 @@ def unigram_rarity_stats(spark, sf_dir):
 _QUANT_CTE = """
         WITH q AS (
             SELECT vec_id, embedding,
-                   list_max(list_transform(embedding,
-                            x -> abs(CAST(x AS DOUBLE)))) AS scale
+                   COALESCE(list_max(list_filter(
+                            list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                            a -> a < CAST('inf' AS DOUBLE))), 0.0) AS scale
             FROM embeddings),
         qq AS (
             SELECT vec_id, scale,
                    list_transform(embedding,
-                       x -> CASE WHEN scale = 0 THEN 0
+                       x -> CASE WHEN NOT (abs(CAST(x AS DOUBLE)) < CAST('inf' AS DOUBLE))
+                                 THEN NULL
+                            WHEN scale = 0 THEN 0
                             ELSE CAST(ROUND(CAST(x AS DOUBLE) / scale * 127, 0) AS INT)
                             END) AS qv
             FROM q)"""
@@ -241,14 +244,21 @@ _QUANT_CTE = """
     # quantized reference vector (vec_id 0) + reconstruction error.
     # Integer sums are order-free; the float steps (abs/div/mul/round)
     # are IEEE-identical cross-engine.
+    # DuckDB's list_sum SKIPS NULL elements (a silently-partial dot on
+    # a corrupt vector); Spark's F.aggregate propagates NULL. NULL is
+    # the honest value for an undefined sum, so the any-NULL CASE
+    # guards mirror Spark's propagation exactly.
     oracle=_QUANT_CTE + """,
         r AS (SELECT qv AS ref_q FROM qq WHERE vec_id = 0)
         SELECT vec_id,
                ROUND(scale, 6) AS scale_r,
-               CAST(list_sum([CAST(qv[i] AS BIGINT) * qv[i]
-                              for i in range(1, len(qv) + 1)]) AS BIGINT) AS qnorm,
-               CAST(list_sum([CAST(qv[i] AS BIGINT) * ref_q[i]
-                              for i in range(1, len(qv) + 1)]) AS BIGINT) AS qdot_ref
+               CASE WHEN len(list_filter(qv, x -> x IS NULL)) = 0
+                    THEN CAST(list_sum([CAST(qv[i] AS BIGINT) * qv[i]
+                              for i in range(1, len(qv) + 1)]) AS BIGINT) END AS qnorm,
+               CASE WHEN len(list_filter(qv, x -> x IS NULL)) = 0
+                     AND len(list_filter(ref_q, x -> x IS NULL)) = 0
+                    THEN CAST(list_sum([CAST(qv[i] AS BIGINT) * ref_q[i]
+                              for i in range(1, len(qv) + 1)]) AS BIGINT) END AS qdot_ref
         FROM qq CROSS JOIN r
     """,
 )
@@ -279,17 +289,24 @@ def embedding_quantize_int8(spark, sf_dir):
     # IEEE sqrt/div at the end) — the memory-efficient configuration
     # of the ANN path (4× smaller vectors than knn_cosine_topk's).
     # TakeOrderedAndProject on the rounded score, ties by vec_id.
+    # any-NULL guards mirror Spark's NULL-propagating F.aggregate
+    # (DuckDB list_sum would compute a silently-partial dot on corrupt
+    # vectors); NULL qn/rn then fails the > 0 filter on both engines
     oracle=_QUANT_CTE + """,
         r AS (SELECT qv AS ref_q,
-                     CAST(list_sum([CAST(qv[i] AS BIGINT) * qv[i]
-                                    for i in range(1, len(qv) + 1)]) AS BIGINT) AS rn
+                     CASE WHEN len(list_filter(qv, x -> x IS NULL)) = 0
+                          THEN CAST(list_sum([CAST(qv[i] AS BIGINT) * qv[i]
+                                    for i in range(1, len(qv) + 1)]) AS BIGINT) END AS rn
               FROM qq WHERE vec_id = 0),
         s AS (
             SELECT vec_id,
-                   CAST(list_sum([CAST(qv[i] AS BIGINT) * ref_q[i]
-                                  for i in range(1, len(qv) + 1)]) AS BIGINT) AS qdot,
-                   CAST(list_sum([CAST(qv[i] AS BIGINT) * qv[i]
-                                  for i in range(1, len(qv) + 1)]) AS BIGINT) AS qn,
+                   CASE WHEN len(list_filter(qv, x -> x IS NULL)) = 0
+                         AND len(list_filter(ref_q, x -> x IS NULL)) = 0
+                        THEN CAST(list_sum([CAST(qv[i] AS BIGINT) * ref_q[i]
+                                  for i in range(1, len(qv) + 1)]) AS BIGINT) END AS qdot,
+                   CASE WHEN len(list_filter(qv, x -> x IS NULL)) = 0
+                        THEN CAST(list_sum([CAST(qv[i] AS BIGINT) * qv[i]
+                                  for i in range(1, len(qv) + 1)]) AS BIGINT) END AS qn,
                    rn
             FROM qq CROSS JOIN r
             WHERE vec_id <> 0)

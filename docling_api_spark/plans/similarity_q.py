@@ -440,10 +440,17 @@ def centroid_label_purity(spark, sf_dir):
     oracle="""
         WITH c AS (
             SELECT i AS dim,
-                   CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS q
+                   -- a NaN/inf component must surface as a COUNT, not
+                   -- abort the audit (Spark's ANSI cast of non-finite
+                   -- to BIGINT throws): quantize finite values only
+                   CASE WHEN isfinite(CAST(embedding[i] AS DOUBLE))
+                        THEN CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT)
+                   END AS q,
+                   CASE WHEN isfinite(CAST(embedding[i] AS DOUBLE)) THEN 0 ELSE 1 END AS bad
             FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i))
         SELECT dim,
                COUNT(*) AS n,
+               CAST(SUM(bad) AS BIGINT) AS n_nonfinite,
                CAST(SUM(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
                CAST(SUM(q) AS BIGINT) AS sum_q,
                CAST(SUM(ABS(q)) AS BIGINT) AS sum_abs_q,
@@ -457,22 +464,30 @@ def centroid_label_purity(spark, sf_dir):
     """,
 )
 def embedding_dim_health(spark, sf_dir):
-    """Per-dimension embedding-health stats (zero fraction, integer-
-    quantized mean/extremes) over the whole vector corpus.
+    """Per-dimension embedding-health stats (non-finite count, zero
+    fraction, integer-quantized mean/extremes) over the whole vector
+    corpus. The audit must SURVIVE the corruption it exists to catch:
+    an ANSI cast of NaN/±inf to BIGINT aborts the job, so non-finite
+    components quantize to NULL and surface in ``n_nonfinite`` (the
+    pre-flight signal that cosine structure can't be trusted).
 
     Scale shape: one posexplode (64 narrow (dim, q) rows per vector,
     the text/vector payload is dropped before the shuffle) into a
     64-group hash aggregate with map-side combine — effectively a
     map-only pass at any corpus size."""
     e = load(spark, sf_dir, "embeddings")
+    v = F.col("v").cast("double")
+    finite = ~F.isnan(v) & (F.abs(v) < F.lit(float("inf")))
     c = e.select(
         F.posexplode("embedding").alias("pos", "v")
     ).select(
         (F.col("pos") + 1).cast("long").alias("dim"),
-        F.round(F.col("v").cast("double") * 1000000, 0).cast("long").alias("q"),
+        F.when(finite, F.round(v * 1000000, 0).cast("long")).alias("q"),
+        F.when(finite, 0).otherwise(1).alias("bad"),
     )
     return c.groupBy("dim").agg(
         F.count("*").alias("n"),
+        F.sum("bad").alias("n_nonfinite"),
         F.sum(F.when(F.col("q") == 0, 1).otherwise(0)).alias("n_zero"),
         F.sum("q").alias("sum_q"),
         F.sum(F.abs("q")).alias("sum_abs_q"),
