@@ -299,7 +299,13 @@ def boilerplate_line_dedup(
     dropped from every document; each document's text is rebuilt from
     its surviving lines in original order.
 
-    Returns (id, clean_text, n_removed).
+    Returns (id, clean_text, n_removed) — one row per INPUT document.
+    NULL text coerces to "" up front: ``posexplode(split(NULL))``
+    yields no rows, so a NULL-text doc would otherwise VANISH from the
+    output (silent row loss — and the curation cascade's audit, which
+    infers the drop stage from a missing rebuild row, would then
+    mislabel it as a dedup drop). Coerced, it flows exactly like an
+    empty-text doc already does.
 
     Scale shape: lines shuffle/group on the 32-bit md5-prefix line
     hash (never the line text as a key); the doc-frequency table joins
@@ -311,7 +317,9 @@ def boilerplate_line_dedup(
     """
     lines = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     ).select("id", "pos", "line", md5_long(F.col("line")).alias("h"))
     # persist: the doc-frequency aggregate AND the join both read this
     # explode+hash subtree — without the cache the full-corpus md5 pass

@@ -148,3 +148,29 @@ def test_curate_survives_null_and_empty_text(spark):
     assert rows[2].kept
     assert not rows[1].kept and not rows[3].kept
     assert rows[3].drop_stage == "quality"  # empty → NULL quality → drop
+
+
+def test_null_text_docs_are_audited_not_lost(spark):
+    """NULL-text docs (failed upstream extractions that skipped the
+    quarantine) must come out of the cascade AUDITED, not vanish:
+    before the coalesce guard in boilerplate_line_dedup, the line
+    rebuild dropped their rows entirely and the audit mislabeled the
+    loss as a dedup drop. They now flow like empty-text docs: zero
+    tokens -> NULL quality -> 'quality' drop."""
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["of", "and"] * 60)),  # normal keeper
+            (2, None),
+            (3, None),  # exact dup of 2 under the NULL content-hash group
+        ],
+        "doc_id long, text string",
+    )
+    staged = curate_corpus(docs, quality_threshold=0.3)
+    rows = {r.id: r for r in staged.collect()}
+    assert len(rows) == 3  # one audit row per INPUT doc, none lost
+    assert rows[1].kept
+    # min-id NULL doc survives dedup, then drops at quality (not dedup)
+    assert rows[2].drop_stage == "quality" and rows[2].quality is None
+    assert rows[3].drop_stage == "dedup"
+    stats = {r.stage: r.docs for r in curation_stats(staged).collect()}
+    assert stats == {"kept": 1, "quality": 1, "dedup": 1}
