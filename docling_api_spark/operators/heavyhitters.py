@@ -40,7 +40,11 @@ def _mg_partition_fn(k: int):
             # largest value from all and drop non-positives — a valid
             # sequence of MG decrements (each unit decrement retires
             # >= k+1 distinct counters), preserving the error bound
-            n += len(pdf)
+            # non-null occurrences only, CONSISTENTLY: value_counts()
+            # drops NULLs from the sketch, so counting them into n
+            # would inflate the threshold and break the pigeonhole
+            # recall guarantee (a NULL row can never be a candidate)
+            n += int(pdf["tok"].count())
             c.update(pdf["tok"].value_counts().to_dict())
             if len(c) > k:
                 kth = nlargest(k + 1, c.values())[-1]

@@ -128,7 +128,11 @@ def prefix_sum(
     def local_cumsum(batches):
         run = 0  # carries across Arrow batches WITHIN one partition
         for pdf in batches:
-            vals = pdf[value_col].to_numpy(dtype="int64")
+            # NULL contributes 0, matching the offsets half exactly:
+            # F.sum() SKIPS NULLs, and an unguarded NaN→int64 cast
+            # would abort the job (Arrow ships a nullable int column
+            # as float64+NaN), desynchronizing the two halves
+            vals = pdf[value_col].fillna(0).to_numpy(dtype="int64")
             pdf = pdf.assign(
                 __lsum=run + np.concatenate(([0], np.cumsum(vals[:-1])))
                 if len(vals)

@@ -49,3 +49,17 @@ def test_mg_candidates_bounded_and_recall(spark):
     for w, c in Counter(words).items():
         if c * k >= n:
             assert w in cands
+
+
+def test_null_token_rows_are_ignored_consistently(spark):
+    """NULL-token rows can never be sketch candidates (value_counts
+    drops them), so they must not inflate the total n either — before
+    the guard, enough NULL noise raised the n/k threshold and evicted
+    true heavy hitters from the result."""
+    rows = [("a",)] * 40 + [("b",)] * 10 + [(None,)] * 200
+    toks = spark.createDataFrame(rows, "tok string").repartition(4)
+    got = {r.tok: (r.cnt, r.n) for r in heavy_hitters(toks, k=4).collect()}
+    # n counts the 50 real occurrences only; a (40*4 >= 50) qualifies
+    assert got.get("a") == (40, 50)
+    assert "b" not in got  # 10*4 < 50
+    assert None not in got

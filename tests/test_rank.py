@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from docling_api_spark.operators.rank import global_rank
+from docling_api_spark.operators.rank import global_rank, prefix_sum
 
 
 def _ref_rank(df, order_cols):
@@ -81,3 +81,19 @@ def test_prefix_sum_empty_and_single(spark):
     assert prefix_sum(empty, "v", ["id"], num_partitions=4).count() == 0
     one = spark.range(5, 6).select(F.col("id"), F.lit(9).alias("v"))
     assert prefix_sum(one, "v", ["id"], num_partitions=4).collect()[0].prefix == 0
+
+
+def test_prefix_sum_null_values_count_as_zero(spark):
+    """NULL values contribute 0 on BOTH halves of the operator: the
+    offsets aggregate already skipped NULLs (F.sum semantics), and the
+    Arrow cumsum used to abort on the NaN->int64 cast (a nullable int
+    column ships as float64+NaN) — the two halves must agree."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5), (4, None), (5, 2)],
+        "id long, v long",
+    )
+    rows = {
+        r.id: r.prefix
+        for r in prefix_sum(df, "v", ["id"], num_partitions=3).collect()
+    }
+    assert rows == {1: 0, 2: 10, 3: 10, 4: 15, 5: 15}
