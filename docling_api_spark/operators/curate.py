@@ -147,6 +147,27 @@ def curate_corpus(
     return staged
 
 
+class CurationAuditError(RuntimeError):
+    """Raised when the cascade's audit table violates row conservation."""
+
+
+def assert_row_conservation(docs: DataFrame, staged: DataFrame, id_col: str = "doc_id") -> int:
+    """The cascade's core invariant: one audit row per INPUT document —
+    a dropped doc is a LABELED row, never a missing one (the silent
+    row-loss class: an operator whose explode produces no rows for a
+    degenerate doc removes it from every downstream join). Returns the
+    row count; raises CurationAuditError on violation so the job can
+    refuse to publish. Both counts are metadata-cheap when ``staged``
+    is persisted."""
+    n_in = docs.select(id_col).count()
+    n_out = staged.count()
+    if n_out != n_in:
+        raise CurationAuditError(
+            f"row conservation violated: {n_in} input docs but {n_out} audit rows"
+        )
+    return n_out
+
+
 def curation_stats(staged: DataFrame) -> DataFrame:
     """Per-stage drop counts + kept count (the run's summary report)."""
     return (

@@ -58,7 +58,11 @@ def main() -> None:
         .getOrCreate()
     )
 
-    from docling_api_spark.operators.curate import curate_corpus, curation_stats
+    from docling_api_spark.operators.curate import (
+        assert_row_conservation,
+        curate_corpus,
+        curation_stats,
+    )
 
     docs = spark.read.parquet(args.input)
     ev = spark.read.parquet(args.eval_set).select("text") if args.eval_set else None
@@ -69,6 +73,10 @@ def main() -> None:
         line_df_cap=args.line_df_cap,
         eval_texts=ev,
     ).persist()
+    # refuse to publish an audit table that lost rows (same publish-gate
+    # discipline as run_extract's span/media audits): every input doc
+    # must come out as a LABELED row, kept or dropped
+    assert_row_conservation(docs, staged)
     staged.write.mode("overwrite").partitionBy("kept").parquet(args.output)
     stats = {r["stage"]: r["docs"] for r in curation_stats(staged).collect()}
     staged.unpersist()

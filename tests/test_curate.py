@@ -174,3 +174,21 @@ def test_null_text_docs_are_audited_not_lost(spark):
     assert rows[3].drop_stage == "dedup"
     stats = {r.stage: r.docs for r in curation_stats(staged).collect()}
     assert stats == {"kept": 1, "quality": 1, "dedup": 1}
+
+
+def test_row_conservation_guard(spark):
+    """run_curate refuses to publish an audit table that lost rows."""
+    import pytest as _pytest
+
+    from docling_api_spark.operators.curate import (
+        CurationAuditError,
+        assert_row_conservation,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    staged = curate_corpus(docs)
+    assert assert_row_conservation(docs, staged) == 3
+    with _pytest.raises(CurationAuditError, match="3 input docs but 2"):
+        assert_row_conservation(docs, staged.filter("id <> 2"))
