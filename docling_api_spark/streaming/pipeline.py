@@ -158,11 +158,16 @@ def stream_sessionize(
 
     schema = spark.read.parquet(events_path).schema
     stream = spark.readStream.schema(schema).parquet(events_path)
+    # NULL event times have no gap semantics: the fold's int(t) would
+    # abort the stream on the NaN a NULL ships as. Dropped here (the
+    # quarantine class — a production flow filters them upstream); the
+    # batch twin, which orders NULLs first, counts each as a one-event
+    # session instead — gate corpora carry neither case.
     events = stream.select(
         "user_id",
         F.col("event_id"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("tsec"),
-    )
+    ).filter(F.col("tsec").isNotNull())
     gap_micros = gap_seconds * 1_000_000
 
     out_type = StructType(

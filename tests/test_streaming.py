@@ -237,3 +237,34 @@ def test_sessionize_microsecond_gap_boundary(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM us_boundary").collect()
     assert [(r.user_id, r.n_sessions, r.n_events) for r in rows] == [(1, 2, 3)]
+
+
+def test_sessionize_drops_null_ts_instead_of_aborting(spark, tmp_path):
+    """A NULL event time ships to the state fold as NaN, and the
+    unguarded int(t) aborted the whole stream. NULL-ts events have no
+    gap semantics: they are dropped (quarantine class), every other
+    event still folds."""
+    from docling_api_spark.streaming.pipeline import stream_sessionize
+
+    events_path = str(tmp_path / "events")
+    spark.createDataFrame(
+        [
+            (1, 10, "2026-01-01 10:00:00"),
+            (1, 11, None),  # the abort case
+            (1, 12, "2026-01-01 11:00:00"),  # > 30 min gap: new session
+            (2, 20, None),  # user with ONLY null-ts events
+        ],
+        "user_id long, event_id long, ts string",
+    ).selectExpr(
+        "user_id", "event_id", "CAST(ts AS TIMESTAMP) AS ts"
+    ).write.parquet(events_path)
+    q = stream_sessionize(
+        spark, events_path, str(tmp_path / "ckpt"), query_name="null_ts_sessions"
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in spark.sql("SELECT * FROM null_ts_sessions").collect()
+    }
+    assert got[1] == (2, 2)  # the two timed events, two sessions
+    assert 2 not in got  # all-null user contributes no state row
