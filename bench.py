@@ -258,7 +258,7 @@ def run_suite(sf_dir: str, cpus: str) -> dict:
 
     spark = get_spark(master=f"local[{cpus}]", app_name=f"bench-{cpus}")
     qmap = registry.queries()
-    _warm(spark)
+    _warm(spark, sf_dir)
 
     # per-suite-half host-health probes: a degraded window opening
     # mid-run is marked, not mistaken for a code regression
@@ -349,7 +349,7 @@ def run_suite(sf_dir: str, cpus: str) -> dict:
     return compact
 
 
-def _warm(spark) -> None:
+def _warm(spark, sf_dir: str | None = None) -> None:
     """Warm JVM codegen AND the Python worker pool (mapInPandas spawns
     one worker per core on first use — excluded from steady-state
     throughput, which is what a long-running job sees)."""
@@ -363,6 +363,23 @@ def _warm(spark) -> None:
     spark.range(n * 4).repartition(n).select(_one("id")).write.format("noop").mode(
         "overwrite"
     ).save()
+    # The trivial UDF above leaves the worker-side package imports
+    # (extraction kernels, hashing, numpy chains) cold: worker REUSE
+    # means the first timed mapInPandas query pays every import + its
+    # page fault-in — a fixed per-process cost a long-running job pays
+    # once at startup, and the documented 2.7-23 s swing on
+    # ingest_end_to_end at fixed code. Run the flagship
+    # extract→chunk→embed chain at the smallest SF so each reused
+    # worker has the real modules resident before timing starts.
+    if sf_dir is not None:
+        small = os.path.join(os.path.dirname(sf_dir.rstrip("/")) or ".", "sf0.001")
+        if os.path.isdir(small):
+            from docling_api_spark.plans import registry
+
+            fn = registry.queries().get("ingest_end_to_end")
+            if fn is not None:
+                fn(spark, small).write.format("noop").mode("overwrite").save()
+                spark.catalog.clearCache()
 
 
 def _cpu_calibration(width: int, seconds: float = 2.0) -> float:
