@@ -74,13 +74,24 @@ def stratified_keep(
     scan — the big side is never shuffled, so at 100 TB this is one
     pass over the corpus plus a metadata-sized join.
 
+    NULL strata survive: the count join is null-safe (``<=>``), so docs
+    with a NULL stratum form their own stratum instead of silently
+    vanishing through an equi-join (the row-loss class a real crawl
+    hits on every doc with no language tag). groupBy already counts
+    the NULL group; only the join-back needed the null-safe key.
+
     Output: input columns + ``n_stratum`` + ``kept``.
     """
-    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n_stratum"))
+    counts = df.groupBy(stratum_col).agg(
+        F.count("*").alias("n_stratum")
+    ).withColumnRenamed(stratum_col, "__stratum")
     n_min = counts.agg(F.min("n_stratum").alias("n_min"))
     h = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}"))) % scale
     return (
-        df.join(F.broadcast(counts), stratum_col)
+        df.join(
+            F.broadcast(counts), F.col(stratum_col).eqNullSafe(F.col("__stratum"))
+        )
+        .drop("__stratum")
         .crossJoin(F.broadcast(n_min))
         .withColumn("kept", h * F.col("n_stratum") < F.lit(scale) * F.col("n_min"))
     )
@@ -302,6 +313,13 @@ def domain_cap_keep(
     sorts ~domain-count 24-byte rows, which is fine to ~10^8 docs per
     domain (beyond that, pre-filter with an approximate per-domain
     count and only rank domains over the cap).
+
+    NULL ``domain_col`` rows survive (the join-back is on the id, and
+    the window treats NULL as its own partition). NULL *ids* do NOT:
+    the id is the engine-wide row identity (every dedup/join operator
+    assumes it), and a null-safe join-back would cross-match every
+    NULL-id row — quarantine NULL ids at ingest, as the extraction
+    pipeline's error side-table does.
 
     Output: input columns + ``dom_rank`` (1-based hash rank within the
     domain) + ``kept``.

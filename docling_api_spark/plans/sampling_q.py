@@ -75,7 +75,9 @@ def dataset_split_stats(spark, sf_dir):
              m AS (SELECT MIN(n_stratum) AS n_min FROM c),
              k AS (SELECT d.doc_id, d.lang, c.n_stratum, m.n_min,
                           ({_STRAT_H}) * c.n_stratum < 100000 * m.n_min AS kept
-                   FROM documents d JOIN c USING (lang) CROSS JOIN m)
+                   FROM documents d
+                   JOIN c ON d.lang IS NOT DISTINCT FROM c.lang
+                   CROSS JOIN m)
         SELECT lang,
                MAX(n_stratum) AS n_stratum,
                MAX(n_min) AS n_target,

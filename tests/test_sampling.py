@@ -283,3 +283,18 @@ def test_group_split_no_leakage(spark):
         for r in group_split(d.repartition(5)).select("source", "split").distinct().collect()
     }
     assert a == b
+
+
+def test_stratified_keep_conserves_null_stratum_rows(spark):
+    """A NULL stratum must form its own stratum, not vanish through the
+    count join (the silent row-loss class: an equi-join on a NULL key
+    matches nothing). Row conservation + NULL stratum counted."""
+    rows = [(i, "en" if i % 2 else None) for i in range(20)]
+    d = spark.createDataFrame(rows, "doc_id int, lang string")
+    out = stratified_keep(d, stratum_col="lang").collect()
+    assert len(out) == 20  # one output row per input row
+    null_rows = [r for r in out if r["lang"] is None]
+    assert len(null_rows) == 10
+    assert all(r["n_stratum"] == 10 for r in null_rows)
+    # keep decisions for NULL-stratum rows are real booleans
+    assert all(r["kept"] in (True, False) for r in null_rows)
