@@ -71,6 +71,9 @@ No-Verification-Needed: measurement artifact only"
     log "midtier: committed BENCH_BEST_WINDOW.json headline=${NEW}s (prev best ${BEST}s)"
   else
     log "midtier: run headline=${NEW}s does not beat ${BEST}s — discarded"
+    # a discarded run still overwrote BENCH_DETAIL.json; restore the
+    # committed artifact so the tree matches BENCH_BEST_WINDOW.json
+    git restore BENCH_DETAIL.json 2>/dev/null || git checkout -- BENCH_DETAIL.json
   fi
   sleep 300
 done
